@@ -1,0 +1,372 @@
+"""Metrics for evaluating model performance.
+
+Numerical parity with the reference's hand-rolled numpy metrics
+(spine_vision/training/metrics.py:60-518), which are the actual hot path the
+reference trainers use for checkpoint selection. These run on host numpy after
+device evaluation; the expensive part (forward passes and cross-device
+gathers) stays on device.
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+
+from spine_vision_tpu.core.tasks import AVAILABLE_TASK_NAMES, TaskConfig, get_task
+
+LEVEL_NAMES_DEFAULT = ["L1/L2", "L2/L3", "L3/L4", "L4/L5", "L5/S1"]
+
+
+def _to_np(x: Any) -> np.ndarray:
+    """Convert device arrays / lists to host numpy."""
+    return np.asarray(x)
+
+
+@dataclass
+class MetricResult:
+    """Container for metric computation results."""
+
+    name: str
+    value: float
+    per_class: dict[str, float] = field(default_factory=dict)
+    metadata: dict[str, Any] = field(default_factory=dict)
+
+
+class BaseMetrics(ABC):
+    """Abstract base class for metrics calculators."""
+
+    @abstractmethod
+    def compute(self, predictions: Any, targets: Any, **kwargs: Any) -> dict[str, float]:
+        """Compute metrics from predictions and targets."""
+
+    @abstractmethod
+    def reset(self) -> None:
+        """Reset accumulated state."""
+
+
+class LocalizationMetrics(BaseMetrics):
+    """Metrics for coordinate localization.
+
+    Computes MED (mean Euclidean distance) + std/median, per-coordinate MAE,
+    PCK at thresholds (fraction of predictions within a normalized distance,
+    in percent), and per-level MED breakdown. Parity with reference
+    training/metrics.py:121-185.
+    """
+
+    def __init__(
+        self,
+        pck_thresholds: list[float] | None = None,
+        level_names: list[str] | None = None,
+    ) -> None:
+        self.pck_thresholds = pck_thresholds or [0.02, 0.05, 0.10]
+        self.level_names = level_names or list(LEVEL_NAMES_DEFAULT)
+        self._predictions: list[np.ndarray] = []
+        self._targets: list[np.ndarray] = []
+        self._levels: list[np.ndarray] = []
+
+    def reset(self) -> None:
+        self._predictions = []
+        self._targets = []
+        self._levels = []
+
+    def update(
+        self,
+        predictions: Any,
+        targets: Any,
+        levels: Any | None = None,
+    ) -> None:
+        """Accumulate a batch of [B, 2] predictions/targets (+ levels [B])."""
+        self._predictions.append(_to_np(predictions))
+        self._targets.append(_to_np(targets))
+        if levels is not None:
+            self._levels.append(_to_np(levels))
+
+    def compute(
+        self,
+        predictions: Any | None = None,
+        targets: Any | None = None,
+        levels: Any | None = None,
+        **kwargs: Any,
+    ) -> dict[str, float]:
+        """Compute all metrics from explicit arrays or accumulated state."""
+        if predictions is None and self._predictions:
+            predictions = np.concatenate(self._predictions, axis=0)
+            targets = np.concatenate(self._targets, axis=0)
+            if self._levels:
+                levels = np.concatenate(self._levels, axis=0)
+
+        if predictions is None or targets is None:
+            return {}
+
+        predictions = _to_np(predictions).astype(np.float64)
+        targets = _to_np(targets).astype(np.float64)
+        if levels is not None:
+            levels = _to_np(levels)
+
+        metrics: dict[str, float] = {}
+
+        distances = np.sqrt(np.sum((predictions - targets) ** 2, axis=1))
+        metrics["med"] = float(np.mean(distances))
+        metrics["med_std"] = float(np.std(distances))
+        metrics["med_median"] = float(np.median(distances))
+
+        mae = np.abs(predictions - targets)
+        metrics["mae_x"] = float(np.mean(mae[:, 0]))
+        metrics["mae_y"] = float(np.mean(mae[:, 1]))
+        metrics["mae"] = float(np.mean(mae))
+
+        for thresh in self.pck_thresholds:
+            metrics[f"pck@{thresh:.2f}"] = float(np.mean(distances < thresh) * 100)
+
+        if levels is not None:
+            for level_idx, level_name in enumerate(self.level_names):
+                mask = levels == level_idx
+                if np.sum(mask) > 0:
+                    metrics[f"med_{level_name}"] = float(np.mean(distances[mask]))
+
+        return metrics
+
+    def compute_detailed(
+        self,
+        predictions: Any,
+        targets: Any,
+        levels: Any | None = None,
+    ) -> MetricResult:
+        """Compute metrics with per-level breakdown packaged as MetricResult."""
+        metrics = self.compute(predictions, targets, levels)
+        per_class = {
+            name: metrics[f"med_{name}"]
+            for name in self.level_names
+            if f"med_{name}" in metrics
+        }
+        return MetricResult(
+            name="LocalizationMetrics",
+            value=metrics.get("med", 0.0),
+            per_class=per_class,
+            metadata=metrics,
+        )
+
+
+class ClassificationMetrics(BaseMetrics):
+    """Per-task classification metrics: accuracy, per-class P/R/F1,
+    balanced accuracy, macro F1 (reference training/metrics.py:263-318)."""
+
+    def __init__(self, num_classes: int, class_names: list[str] | None = None) -> None:
+        self.num_classes = num_classes
+        self.class_names = class_names or [f"class_{i}" for i in range(num_classes)]
+        self._predictions: list[np.ndarray] = []
+        self._targets: list[np.ndarray] = []
+
+    def reset(self) -> None:
+        self._predictions = []
+        self._targets = []
+
+    def update(self, predictions: Any, targets: Any) -> None:
+        """Accumulate [B] class predictions (argmaxed if [B, C]) and targets."""
+        preds = _to_np(predictions)
+        if preds.ndim > 1:
+            preds = preds.argmax(axis=1)
+        self._predictions.append(preds)
+        self._targets.append(_to_np(targets))
+
+    def compute(
+        self,
+        predictions: Any | None = None,
+        targets: Any | None = None,
+        **kwargs: Any,
+    ) -> dict[str, float]:
+        if predictions is None and self._predictions:
+            predictions = np.concatenate(self._predictions, axis=0)
+            targets = np.concatenate(self._targets, axis=0)
+
+        if predictions is None or targets is None:
+            return {}
+
+        predictions = _to_np(predictions)
+        if predictions.ndim > 1:
+            predictions = predictions.argmax(axis=1)
+        targets = _to_np(targets)
+
+        metrics: dict[str, float] = {}
+        metrics["accuracy"] = float(np.mean(predictions == targets) * 100)
+
+        for class_idx, class_name in enumerate(self.class_names):
+            pred_mask = predictions == class_idx
+            target_mask = targets == class_idx
+
+            tp = np.sum(pred_mask & target_mask)
+            fp = np.sum(pred_mask & ~target_mask)
+            fn = np.sum(~pred_mask & target_mask)
+
+            precision = tp / (tp + fp) if (tp + fp) > 0 else 0.0
+            recall = tp / (tp + fn) if (tp + fn) > 0 else 0.0
+            f1 = (
+                2 * precision * recall / (precision + recall)
+                if (precision + recall) > 0
+                else 0.0
+            )
+            metrics[f"precision_{class_name}"] = float(precision)
+            metrics[f"recall_{class_name}"] = float(recall)
+            metrics[f"f1_{class_name}"] = float(f1)
+
+        recalls = [metrics[f"recall_{name}"] for name in self.class_names]
+        metrics["balanced_accuracy"] = float(np.mean(recalls) * 100)
+
+        f1s = [metrics[f"f1_{name}"] for name in self.class_names]
+        metrics["macro_f1"] = float(np.mean(f1s))
+
+        return metrics
+
+
+class ClassifierMetrics:
+    """Multi-task metrics aggregator for the Classifier model.
+
+    Per task: accuracy (+ balanced accuracy for multiclass; precision/recall/F1
+    for binary). Aggregates: ``overall_accuracy`` = mean accuracy across tasks;
+    ``f1`` for single-task setups, ``macro_f1`` across tasks otherwise (used
+    for checkpoint selection). Parity with reference
+    training/metrics.py:321-518.
+    """
+
+    def __init__(
+        self,
+        tasks: list[TaskConfig] | None = None,
+        target_labels: list[str] | None = None,
+    ) -> None:
+        if target_labels is None:
+            labels_to_track = list(AVAILABLE_TASK_NAMES)
+        else:
+            labels_to_track = list(target_labels)
+
+        task_types: dict[str, str] = {}
+        num_classes: dict[str, int] = {}
+        if tasks is not None:
+            for task in tasks:
+                if task.name in labels_to_track:
+                    task_types[task.name] = task.task_type
+                    num_classes[task.name] = task.num_classes
+        else:
+            for label in labels_to_track:
+                task = get_task(label)
+                task_types[label] = task.task_type
+                num_classes[label] = task.num_classes
+
+        self._task_types = task_types
+
+        self._multiclass_metrics: dict[str, ClassificationMetrics] = {}
+        self._binary_preds: dict[str, list[np.ndarray]] = {}
+        self._binary_targets: dict[str, list[np.ndarray]] = {}
+
+        for label, task_type in task_types.items():
+            if task_type == "multiclass":
+                n = num_classes[label]
+                self._multiclass_metrics[label] = ClassificationMetrics(
+                    num_classes=n, class_names=[f"class_{i}" for i in range(n)]
+                )
+            elif task_type == "binary":
+                self._binary_preds[label] = []
+                self._binary_targets[label] = []
+
+    def reset(self) -> None:
+        for m in self._multiclass_metrics.values():
+            m.reset()
+        for label in self._binary_preds:
+            self._binary_preds[label] = []
+            self._binary_targets[label] = []
+
+    def update(self, predictions: Any, targets: Any) -> None:
+        """Accumulate a batch. predictions/targets: dict (or attr-accessible)
+        of per-task arrays; multiclass predictions are logits [B, C], binary
+        predictions are logits [B, 1]."""
+
+        def get_value(obj: Any, key: str) -> Any | None:
+            if isinstance(obj, dict):
+                return obj.get(key)
+            return getattr(obj, key, None)
+
+        for label, metrics in self._multiclass_metrics.items():
+            pred = get_value(predictions, label)
+            target = get_value(targets, label)
+            if pred is not None and target is not None:
+                pred_classes = _to_np(pred).argmax(axis=1)
+                metrics.update(pred_classes, _to_np(target))
+
+        for label in self._binary_preds:
+            pred = get_value(predictions, label)
+            target = get_value(targets, label)
+            if pred is not None and target is not None:
+                logits = _to_np(pred).astype(np.float64)
+                probs = 1.0 / (1.0 + np.exp(-logits))
+                self._binary_preds[label].append(probs)
+                self._binary_targets[label].append(_to_np(target))
+
+    @property
+    def is_single_task(self) -> bool:
+        return len(self._task_types) == 1
+
+    def compute(self) -> dict[str, float]:
+        """Compute per-task and aggregate metrics."""
+        metrics: dict[str, float] = {}
+        f1_scores: list[float] = []
+
+        for label, task_metrics in self._multiclass_metrics.items():
+            computed = task_metrics.compute()
+            if computed:
+                metrics[f"{label}_accuracy"] = computed.get("accuracy", 0.0)
+                metrics[f"{label}_balanced_acc"] = computed.get(
+                    "balanced_accuracy", 0.0
+                )
+                f1_scores.append(computed.get("macro_f1", 0.0))
+
+        for label, preds_list in self._binary_preds.items():
+            if not preds_list:
+                continue
+
+            preds = np.concatenate(preds_list, axis=0).flatten()
+            targets = np.concatenate(self._binary_targets[label], axis=0).flatten()
+
+            pred_binary = (preds > 0.5).astype(int)
+            t_binary = targets.astype(int)
+
+            metrics[f"{label}_accuracy"] = float(
+                np.mean(pred_binary == t_binary) * 100
+            )
+
+            tp = np.sum((pred_binary == 1) & (t_binary == 1))
+            fp = np.sum((pred_binary == 1) & (t_binary == 0))
+            fn = np.sum((pred_binary == 0) & (t_binary == 1))
+
+            precision = tp / (tp + fp) if (tp + fp) > 0 else 0.0
+            recall = tp / (tp + fn) if (tp + fn) > 0 else 0.0
+            f1 = (
+                2 * precision * recall / (precision + recall)
+                if (precision + recall) > 0
+                else 0.0
+            )
+            metrics[f"{label}_precision"] = float(precision)
+            metrics[f"{label}_recall"] = float(recall)
+            metrics[f"{label}_f1"] = float(f1)
+            f1_scores.append(float(f1))
+
+        accs = [v for k, v in metrics.items() if k.endswith("_accuracy")]
+        metrics["overall_accuracy"] = float(np.mean(accs)) if accs else 0.0
+
+        if f1_scores:
+            if self.is_single_task:
+                metrics["f1"] = float(f1_scores[0])
+            else:
+                metrics["macro_f1"] = float(np.mean(f1_scores))
+
+        return metrics
+
+
+__all__ = [
+    "BaseMetrics",
+    "ClassificationMetrics",
+    "ClassifierMetrics",
+    "LocalizationMetrics",
+    "MetricResult",
+]

@@ -1,0 +1,82 @@
+"""Tests for the metrics package (parity with reference numpy formulas)."""
+
+import numpy as np
+
+from spine_vision_tpu.metrics import (
+    ClassificationMetrics,
+    ClassifierMetrics,
+    LocalizationMetrics,
+)
+
+
+def test_localization_metrics_basic():
+    m = LocalizationMetrics()
+    preds = np.array([[0.5, 0.5], [0.2, 0.2]])
+    targets = np.array([[0.5, 0.5], [0.2, 0.45]])
+    out = m.compute(preds, targets)
+    assert abs(out["med"] - 0.125) < 1e-9  # distances: 0 and 0.25
+    assert abs(out["mae_y"] - 0.125) < 1e-9
+    assert out["pck@0.02"] == 50.0  # only the exact match is below 0.02
+    assert out["pck@0.05"] == 50.0
+    assert out["pck@0.10"] == 50.0
+
+
+def test_localization_metrics_per_level_and_accumulate():
+    m = LocalizationMetrics()
+    m.update(np.array([[0.0, 0.0]]), np.array([[0.0, 0.1]]), np.array([0]))
+    m.update(np.array([[0.0, 0.0]]), np.array([[0.0, 0.3]]), np.array([4]))
+    out = m.compute()
+    assert abs(out["med_L1/L2"] - 0.1) < 1e-9
+    assert abs(out["med_L5/S1"] - 0.3) < 1e-9
+    m.reset()
+    assert m.compute() == {}
+
+
+def test_classification_metrics_perfect():
+    m = ClassificationMetrics(num_classes=3)
+    preds = np.array([0, 1, 2, 0])
+    out = m.compute(preds, preds.copy())
+    assert out["accuracy"] == 100.0
+    assert out["balanced_accuracy"] == 100.0
+    assert out["macro_f1"] == 1.0
+
+
+def test_classification_metrics_partial():
+    m = ClassificationMetrics(num_classes=2, class_names=["neg", "pos"])
+    preds = np.array([0, 0, 1, 1])
+    targets = np.array([0, 1, 1, 1])
+    out = m.compute(preds, targets)
+    assert out["accuracy"] == 75.0
+    # pos: tp=2 fp=0 fn=1 -> precision 1.0, recall 2/3
+    assert abs(out["precision_pos"] - 1.0) < 1e-9
+    assert abs(out["recall_pos"] - 2 / 3) < 1e-9
+
+
+def test_classifier_metrics_multi_task():
+    m = ClassifierMetrics(target_labels=["pfirrmann", "herniation"])
+    predictions = {
+        "pfirrmann": np.eye(5)[[0, 1, 2, 3]] * 10.0,  # logits -> argmax 0..3
+        "herniation": np.array([[5.0], [-5.0], [5.0], [-5.0]]),
+    }
+    targets = {
+        "pfirrmann": np.array([0, 1, 2, 3]),
+        "herniation": np.array([1.0, 0.0, 1.0, 0.0]),
+    }
+    m.update(predictions, targets)
+    out = m.compute()
+    assert out["pfirrmann_accuracy"] == 100.0
+    assert out["herniation_f1"] == 1.0
+    assert out["overall_accuracy"] == 100.0
+    assert "macro_f1" in out  # multi-task aggregate
+    assert "f1" not in out
+
+
+def test_classifier_metrics_single_task_uses_f1_key():
+    m = ClassifierMetrics(target_labels=["herniation"])
+    m.update(
+        {"herniation": np.array([[3.0], [-3.0]])},
+        {"herniation": np.array([1.0, 0.0])},
+    )
+    out = m.compute()
+    assert out["f1"] == 1.0
+    assert "macro_f1" not in out
