@@ -1,0 +1,172 @@
+"""Host input pipeline: seeded shuffling, weighted sampling, threaded prefetch.
+
+Replaces the reference's torch DataLoader + WeightedRandomSampler + collators
+(trainers/base.py:363-382, datasets/sampling.py) with a numpy-native loader:
+
+- Deterministic per-epoch shuffling from a base seed (parity with the seeded
+  generator + worker_init_fn plumbing in the reference).
+- Optional inverse-class-frequency weighted sampling with replacement.
+- A thread pool decodes/loads samples concurrently (PNG decode + resize is
+  the host bottleneck) and batches are prefetched a queue-depth ahead, so the
+  accelerator never waits on the host (the reference relies on torch worker
+  processes for the same reason).
+- Batches are dicts of stacked numpy arrays; non-array "metadata" entries are
+  collected into lists.
+
+Under a data-parallel mesh, ``drop_last`` guarantees batch divisibility; the
+trainer shards each batch over the mesh's data axis.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable, Iterator, Protocol, Sequence
+
+import numpy as np
+
+
+class MapDataset(Protocol):
+    """Indexable dataset protocol."""
+
+    def __len__(self) -> int: ...
+
+    def __getitem__(self, idx: int) -> dict[str, Any]: ...
+
+
+def default_collate(samples: Sequence[dict[str, Any]]) -> dict[str, Any]:
+    """Stack array-like fields; collect 'metadata' (and other non-arrays) as lists."""
+    batch: dict[str, Any] = {}
+    for key in samples[0]:
+        values = [s[key] for s in samples]
+        first = values[0]
+        if isinstance(first, dict):
+            batch[key] = {
+                k: _stack_or_list([v[k] for v in values]) for k in first
+            }
+        else:
+            batch[key] = _stack_or_list(values)
+    return batch
+
+
+def _stack_or_list(values: list[Any]) -> Any:
+    first = values[0]
+    if isinstance(first, np.ndarray):
+        return np.stack(values)
+    if isinstance(first, (int, float, np.integer, np.floating)):
+        return np.asarray(values)
+    return values  # metadata dicts, strings, ...
+
+
+def compute_inverse_frequency_weights(labels: Sequence[Any]) -> np.ndarray:
+    """Per-sample weights 1 / class_count (reference sampling.py:70-77)."""
+    values, counts = np.unique(np.asarray(labels), return_counts=True)
+    weight_map = {v: 1.0 / c for v, c in zip(values, counts)}
+    return np.asarray([weight_map[v] for v in np.asarray(labels)], dtype=np.float64)
+
+
+class DataLoader:
+    """Seeded, optionally-weighted, prefetching batch loader."""
+
+    def __init__(
+        self,
+        dataset: MapDataset,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool | None = None,
+        seed: int = 42,
+        sample_weights: np.ndarray | None = None,
+        collate_fn: Callable[[Sequence[dict[str, Any]]], dict[str, Any]] | None = None,
+        num_workers: int = 8,
+        prefetch: int = 2,
+    ) -> None:
+        """
+        Args:
+            dataset: Indexable dataset.
+            batch_size: Global batch size.
+            shuffle: Shuffle each epoch (ignored when sample_weights given).
+            drop_last: Drop the trailing partial batch (defaults to
+                ``shuffle``, matching the reference's ``drop_last=shuffle``).
+            seed: Base seed; epoch e uses seed + e.
+            sample_weights: Optional per-sample weights -> sampling with
+                replacement (weighted sampler parity).
+            collate_fn: Batch assembly (default stacks arrays).
+            num_workers: Threads for concurrent sample loading.
+            prefetch: Batches to stage ahead.
+        """
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = shuffle if drop_last is None else drop_last
+        self.seed = seed
+        self.sample_weights = sample_weights
+        self.collate_fn = collate_fn or default_collate
+        self.num_workers = max(1, num_workers)
+        self.prefetch = max(1, prefetch)
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Set the epoch for deterministic reshuffling."""
+        self.epoch = epoch
+
+    def _epoch_indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        rng = np.random.RandomState(self.seed + self.epoch)
+        if self.sample_weights is not None:
+            probs = self.sample_weights / self.sample_weights.sum()
+            return rng.choice(n, size=n, replace=True, p=probs)
+        if self.shuffle:
+            return rng.permutation(n)
+        return np.arange(n)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[dict[str, Any]]:
+        indices = self._epoch_indices()
+        n_batches = len(self)
+        if n_batches == 0:
+            return
+
+        batch_indices = [
+            indices[i * self.batch_size : (i + 1) * self.batch_size]
+            for i in range(n_batches)
+        ]
+
+        out_queue: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer() -> None:
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                    for bidx in batch_indices:
+                        if stop.is_set():
+                            return
+                        samples = list(pool.map(self.dataset.__getitem__, bidx))
+                        out_queue.put(self.collate_fn(samples))
+                out_queue.put(None)
+            except BaseException as exc:  # propagate loader errors
+                out_queue.put(exc)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = out_queue.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            # Drain so the producer can exit.
+            while thread.is_alive():
+                try:
+                    out_queue.get_nowait()
+                except queue.Empty:
+                    break

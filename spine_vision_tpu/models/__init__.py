@@ -1,0 +1,58 @@
+"""Flax model zoo: backbones, heads, Classifier, CoordinateRegressor."""
+
+from spine_vision_tpu.models.backbone import BACKBONES, BackboneFactory, list_backbones
+from spine_vision_tpu.models.classifier import (
+    Classifier,
+    CoordinateRegressor,
+    coords_to_pixels,
+    make_coordinate_loss_fn,
+    make_multitask_loss_breakdown_fn,
+    make_multitask_loss_fn,
+)
+from spine_vision_tpu.models.convnext import CONVNEXT_CONFIGS, ConvNeXt
+from spine_vision_tpu.models.efficientnet import EfficientNet, MobileNetV3
+from spine_vision_tpu.models.heads import (
+    AttentionHead,
+    ConvHead,
+    HeadConfig,
+    HeadFactory,
+    LinearHead,
+    MLPHead,
+    MultiTaskHead,
+    ResidualHead,
+    create_head,
+    get_activation,
+)
+from spine_vision_tpu.models.resnet import RESNET_CONFIGS, ResNet
+from spine_vision_tpu.models.swin import SwinTransformer
+from spine_vision_tpu.models.vit import ViT
+
+__all__ = [
+    "BACKBONES",
+    "BackboneFactory",
+    "CONVNEXT_CONFIGS",
+    "RESNET_CONFIGS",
+    "AttentionHead",
+    "Classifier",
+    "ConvHead",
+    "ConvNeXt",
+    "CoordinateRegressor",
+    "EfficientNet",
+    "HeadConfig",
+    "HeadFactory",
+    "LinearHead",
+    "MLPHead",
+    "MobileNetV3",
+    "MultiTaskHead",
+    "ResNet",
+    "ResidualHead",
+    "SwinTransformer",
+    "ViT",
+    "coords_to_pixels",
+    "create_head",
+    "get_activation",
+    "list_backbones",
+    "make_coordinate_loss_fn",
+    "make_multitask_loss_breakdown_fn",
+    "make_multitask_loss_fn",
+]

@@ -1,0 +1,159 @@
+"""Flax ConvNeXt v1/v2 backbones.
+
+The reference's flagship localization backbone is ConvNeXt-base @ 512²
+(trainers/localization.py:40); it exposes tiny..xlarge (v1) and tiny..huge
+(v2) via timm (training/models/backbone.py:726-736).
+
+TPU-first design notes:
+- NHWC, depthwise 7x7 conv (feature_group_count=C) + pointwise MLP: both map
+  well to TPU (depthwise on VPU, pointwise 1x1 as MXU matmuls).
+- LayerNorm-only normalization -> no mutable state, purely functional apply
+  (no batch_stats plumbing, ideal under pjit).
+- ``dtype`` bf16 compute / fp32 params; LayerNorm accumulates in fp32.
+- v2 replaces LayerScale with GRN (global response normalization) inside the
+  MLP, per the ConvNeXt-V2 paper.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+from jax import Array
+
+
+@dataclass(frozen=True)
+class ConvNeXtConfig:
+    """Architecture hyperparameters for a ConvNeXt backbone."""
+
+    depths: tuple[int, ...]
+    dims: tuple[int, ...]
+    use_grn: bool = False  # v2
+    layer_scale_init: float = 1e-6  # v1 LayerScale (ignored when use_grn)
+
+    @property
+    def num_features(self) -> int:
+        return self.dims[-1]
+
+
+CONVNEXT_CONFIGS: dict[str, ConvNeXtConfig] = {
+    "convnext_tiny": ConvNeXtConfig((3, 3, 9, 3), (96, 192, 384, 768)),
+    "convnext_small": ConvNeXtConfig((3, 3, 27, 3), (96, 192, 384, 768)),
+    "convnext_base": ConvNeXtConfig((3, 3, 27, 3), (128, 256, 512, 1024)),
+    "convnext_large": ConvNeXtConfig((3, 3, 27, 3), (192, 384, 768, 1536)),
+    "convnext_xlarge": ConvNeXtConfig((3, 3, 27, 3), (256, 512, 1024, 2048)),
+    "convnextv2_tiny": ConvNeXtConfig((3, 3, 9, 3), (96, 192, 384, 768), use_grn=True),
+    "convnextv2_small": ConvNeXtConfig(
+        (3, 3, 27, 3), (96, 192, 384, 768), use_grn=True
+    ),
+    "convnextv2_base": ConvNeXtConfig(
+        (3, 3, 27, 3), (128, 256, 512, 1024), use_grn=True
+    ),
+    "convnextv2_large": ConvNeXtConfig(
+        (3, 3, 27, 3), (192, 384, 768, 1536), use_grn=True
+    ),
+    "convnextv2_huge": ConvNeXtConfig(
+        (3, 3, 27, 3), (352, 704, 1408, 2816), use_grn=True
+    ),
+}
+
+
+class GRN(nn.Module):
+    """Global Response Normalization (ConvNeXt-V2).
+
+    gx = ||x||_2 over spatial dims per channel; nx = gx / mean_c(gx);
+    out = gamma * x * nx + beta + x.
+    """
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        gamma = self.param("gamma", nn.initializers.zeros, (self.dim,))
+        beta = self.param("beta", nn.initializers.zeros, (self.dim,))
+        xf = x.astype(jnp.float32)
+        gx = jnp.sqrt(jnp.sum(xf * xf, axis=(1, 2), keepdims=True) + 1e-12)
+        nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + 1e-6)
+        out = gamma * (xf * nx) + beta + xf
+        return out.astype(x.dtype)
+
+
+class ConvNeXtBlock(nn.Module):
+    """Depthwise 7x7 -> LN -> pwconv(4x) -> GELU -> [GRN] -> pwconv + residual."""
+
+    dim: int
+    use_grn: bool
+    layer_scale_init: float
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        residual = x
+        y = nn.Conv(
+            self.dim, (7, 7), padding=[(3, 3), (3, 3)],
+            feature_group_count=self.dim, dtype=self.dtype, name="dwconv",
+        )(x)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(y)
+        y = y.astype(self.dtype)
+        y = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(y)
+        y = nn.gelu(y, approximate=False)
+        if self.use_grn:
+            y = GRN(dim=4 * self.dim, name="grn")(y)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(y)
+        if not self.use_grn and self.layer_scale_init > 0:
+            gamma = self.param(
+                "gamma",
+                nn.initializers.constant(self.layer_scale_init),
+                (self.dim,),
+            )
+            y = y * gamma.astype(self.dtype)
+        return residual + y
+
+
+class ConvNeXt(nn.Module):
+    """ConvNeXt feature extractor: images -> [B, num_features] pooled features.
+
+    Matches the timm num_classes=0 backbone contract: global average pool
+    followed by a final LayerNorm.
+    """
+
+    config: ConvNeXtConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        cfg = self.config
+        x = x.astype(self.dtype)
+
+        # Patchify stem: 4x4 non-overlapping conv + LN.
+        x = nn.Conv(
+            cfg.dims[0], (4, 4), strides=(4, 4), dtype=self.dtype, name="stem_conv"
+        )(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="stem_norm")(x)
+        x = x.astype(self.dtype)
+
+        for stage_idx, (depth, dim) in enumerate(zip(cfg.depths, cfg.dims)):
+            if stage_idx > 0:
+                x = nn.LayerNorm(
+                    epsilon=1e-6, dtype=jnp.float32,
+                    name=f"downsample{stage_idx}_norm",
+                )(x)
+                x = x.astype(self.dtype)
+                x = nn.Conv(
+                    dim, (2, 2), strides=(2, 2), dtype=self.dtype,
+                    name=f"downsample{stage_idx}_conv",
+                )(x)
+            for block_idx in range(depth):
+                x = ConvNeXtBlock(
+                    dim=dim,
+                    use_grn=cfg.use_grn,
+                    layer_scale_init=cfg.layer_scale_init,
+                    dtype=self.dtype,
+                    name=f"stage{stage_idx + 1}_block{block_idx + 1}",
+                )(x)
+
+        x = jnp.mean(x, axis=(1, 2))
+        x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="head_norm")(x)
+        return x.astype(jnp.float32)

@@ -63,19 +63,19 @@ def bilinear_sample(image: Array, ys: Array, xs: Array) -> Array:
     """
     image = image.astype(jnp.float32)
     h, w = image.shape
+    # Clamp coordinates first so out-of-range samples replicate the border
+    # (cv2 BORDER_REPLICATE semantics).
+    ys = jnp.clip(ys, 0.0, h - 1.0)
+    xs = jnp.clip(xs, 0.0, w - 1.0)
     y0 = jnp.floor(ys)
     x0 = jnp.floor(xs)
     wy = ys - y0
     wx = xs - x0
 
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-    y1i = jnp.clip(y0i + 1, 0, h - 1)
-    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
-    x1i = jnp.clip(x0i + 1, 0, w - 1)
-
-    # Clamp weights so out-of-range coords replicate the border.
-    wy = jnp.clip(wy, 0.0, 1.0)
-    wx = jnp.clip(wx, 0.0, 1.0)
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    y1i = jnp.minimum(y0i + 1, h - 1)
+    x1i = jnp.minimum(x0i + 1, w - 1)
 
     v00 = image[y0i, x0i]
     v01 = image[y0i, x1i]

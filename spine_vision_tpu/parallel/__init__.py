@@ -1,0 +1,23 @@
+"""Device mesh construction, shardings, and collective helpers."""
+
+from spine_vision_tpu.parallel.mesh import (
+    MeshContext,
+    all_gather_host,
+    batch_sharding,
+    is_main_process,
+    make_mesh,
+    pad_to_multiple,
+    replicated_sharding,
+    shard_batch,
+)
+
+__all__ = [
+    "MeshContext",
+    "all_gather_host",
+    "batch_sharding",
+    "is_main_process",
+    "make_mesh",
+    "pad_to_multiple",
+    "replicated_sharding",
+    "shard_batch",
+]

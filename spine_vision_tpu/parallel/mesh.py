@@ -1,0 +1,153 @@
+"""Device mesh, shardings, and process helpers.
+
+This is the framework's replacement for the reference's HF Accelerate layer
+(trainers/base.py:229-266): instead of DDP wrapping + NCCL all-reduce, data
+parallelism is expressed as GSPMD shardings over a named mesh — the gradient
+all-reduce becomes an XLA-fused psum over ICI, inserted automatically by the
+compiler from the sharding annotations. The mesh is constructed once and
+carried around as a :class:`MeshContext`.
+
+Axes:
+    data  - batch (data parallel); always present.
+    model - reserved for tensor parallelism (size 1 by default so the same
+            code runs unchanged when a model axis is added; reference has no
+            TP, SURVEY.md §2.3).
+
+Multi-host: ``jax.distributed`` initialization is the caller's concern; all
+helpers here use ``jax.process_index()`` for main-process gating (the
+replacement for ``accelerator.is_main_process``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def is_main_process() -> bool:
+    """True on process 0 (reference: accelerator.is_main_process)."""
+    return jax.process_index() == 0
+
+
+@dataclass(frozen=True)
+class MeshContext:
+    """A named device mesh plus its canonical shardings."""
+
+    mesh: Mesh
+
+    @property
+    def num_devices(self) -> int:
+        return self.mesh.size
+
+    @property
+    def data_axis_size(self) -> int:
+        return self.mesh.shape["data"]
+
+    def batch_sharding(self) -> NamedSharding:
+        """Sharding for [B, ...] arrays: batch split over the data axis."""
+        return NamedSharding(self.mesh, P("data"))
+
+    def replicated(self) -> NamedSharding:
+        """Fully-replicated sharding (params, small arrays)."""
+        return NamedSharding(self.mesh, P())
+
+    def shard_batch(self, batch: Any) -> Any:
+        """Device-put a host batch pytree with batch-axis sharding.
+
+        Per-array batch dims must be divisible by the data axis size; the
+        input pipeline guarantees this by padding/dropping remainders.
+        """
+        sharding = self.batch_sharding()
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(np.asarray(x), sharding), batch
+        )
+
+    def replicate(self, tree: Any) -> Any:
+        """Device-put a pytree fully replicated across the mesh."""
+        sharding = self.replicated()
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def make_mesh(
+    num_devices: int | None = None,
+    model_parallel: int = 1,
+    devices: list[Any] | None = None,
+) -> MeshContext:
+    """Create a ("data", "model") mesh over the available devices.
+
+    Args:
+        num_devices: Use only the first N devices (default: all).
+        model_parallel: Size of the model axis (1 = pure DP).
+        devices: Explicit device list (for tests).
+
+    Returns:
+        MeshContext wrapping the constructed mesh.
+    """
+    devs = devices if devices is not None else jax.devices()
+    if num_devices is not None:
+        devs = devs[:num_devices]
+    n = len(devs)
+    if n % model_parallel != 0:
+        raise ValueError(
+            f"{n} devices not divisible by model_parallel={model_parallel}"
+        )
+    data = n // model_parallel
+    device_array = np.asarray(devs).reshape(data, model_parallel)
+    mesh = Mesh(device_array, axis_names=("data", "model"))
+    return MeshContext(mesh=mesh)
+
+
+def pad_to_multiple(batch: Any, multiple: int) -> tuple[Any, int]:
+    """Pad every array leaf's leading dim up to a multiple by repeating the
+    last row, so trailing eval batches keep static mesh-divisible shapes.
+
+    Returns (padded_batch, n_valid). Callers slice step outputs back to
+    ``n_valid`` before aggregating, so padding never leaks into metrics.
+    """
+    leaves = jax.tree_util.tree_leaves(batch)
+    if not leaves:
+        return batch, 0
+    n = int(np.asarray(leaves[0]).shape[0])
+    pad = (-n) % multiple
+    if pad == 0:
+        return batch, n
+
+    def _pad(x: Any) -> np.ndarray:
+        arr = np.asarray(x)
+        tail = np.repeat(arr[-1:], pad, axis=0)
+        return np.concatenate([arr, tail], axis=0)
+
+    return jax.tree_util.tree_map(_pad, batch), n
+
+
+def batch_sharding(ctx: MeshContext) -> NamedSharding:
+    """Canonical batch sharding for a mesh context."""
+    return ctx.batch_sharding()
+
+
+def replicated_sharding(ctx: MeshContext) -> NamedSharding:
+    """Canonical replicated sharding for a mesh context."""
+    return ctx.replicated()
+
+
+def shard_batch(ctx: MeshContext, batch: Any) -> Any:
+    """Shard a host batch over the mesh's data axis."""
+    return ctx.shard_batch(batch)
+
+
+def all_gather_host(x: Any) -> np.ndarray:
+    """Fetch a (possibly sharded) device array fully to host numpy.
+
+    For single-process meshes jax.device_get suffices (jit outputs are
+    globally addressable); multi-host eval gathers go through
+    ``multihost_utils.process_allgather``.
+    """
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x))
+    return np.asarray(jax.device_get(x))

@@ -1,0 +1,613 @@
+"""Base trainer: epoch loop, validation, checkpointing, hooks.
+
+Capability parity with the reference BaseTrainer (trainers/base.py:189-828),
+re-architected for JAX:
+
+- HF Accelerate -> a named device mesh (parallel.mesh): batches sharded on
+  the "data" axis, params replicated, gradient psum fused by XLA over ICI.
+- torch autocast fp16 -> bf16 compute policy in the model (``mixed_precision``
+  selects the model dtype; no loss scaling needed on TPU).
+- mutable Module/optimizer -> donated TrainState advanced by jitted steps.
+- torch.save dict -> orbax checkpoint + json metadata, same run-dir layout.
+- scheduler parity: cosine/step are per-step optax schedules; plateau decays
+  the injected lr when val loss stagnates; early stopping with patience and
+  min_delta; best-model gating via ``get_metric_for_checkpoint`` (lower is
+  better), best model reloaded at train end.
+
+Training hooks (same surface as the reference):
+    on_train_begin, on_epoch_begin(epoch), on_epoch_end(epoch, metrics),
+    on_train_end(result), get_metric_for_checkpoint(val_loss, metrics).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass, field
+from datetime import datetime
+from pathlib import Path
+from typing import Any, Callable, Generic, Literal, TypeVar
+
+import jax
+import numpy as np
+import yaml
+from pydantic import model_validator
+
+from spine_vision_tpu.core import BaseConfig, logger
+from spine_vision_tpu.data.loader import DataLoader
+from spine_vision_tpu.parallel import (
+    MeshContext,
+    is_main_process,
+    make_mesh,
+    pad_to_multiple,
+)
+from spine_vision_tpu.train import schedules
+from spine_vision_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from spine_vision_tpu.train.state import TrainState
+from spine_vision_tpu.train.steps import make_eval_step, make_train_step
+
+
+def generate_run_id() -> str:
+    """Unique run ID: YYYYMMDD_HHMMSS_<short_uuid>."""
+    timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+    return f"{timestamp}_{uuid.uuid4().hex[:6]}"
+
+
+class TrainingConfig(BaseConfig):
+    """Base configuration for training (reference trainers/base.py:41-162).
+
+    Output structure:
+        weights/<task>/<run_id>/
+            best_model/  checkpoint_epoch_N/  config.yaml  logs/
+    """
+
+    run_id: str = ""
+    task: str = "training"
+
+    data_path: Path = Path("data/processed/localization")
+    output_path: Path | None = None
+    checkpoint_path: Path | None = None
+
+    batch_size: int = 32
+    num_epochs: int = 15
+    learning_rate: float = 1e-4
+    weight_decay: float = 1e-5
+    grad_clip: float | None = 1.0
+
+    scheduler_type: Literal["cosine", "step", "plateau", "none"] = "cosine"
+    scheduler_patience: int = 10
+    scheduler_step_size: int = 30
+    scheduler_gamma: float = 0.1
+    warmup_epochs: int = 0
+
+    early_stopping: bool = True
+    patience: int = 20
+    min_delta: float = 1e-4
+
+    val_split: float = 0.2
+    val_frequency: int = 1
+
+    # Hardware / precision
+    num_devices: int | None = None
+    """Devices to use for the data-parallel mesh (None = all)."""
+    num_workers: int = 8
+    mixed_precision: bool = True
+    """bf16 compute (TPU-native; replaces the reference's fp16 autocast)."""
+
+    log_frequency: int = 10
+    save_frequency: int = 10
+
+    # Experiment tracking (JSONL tracker; reference uses trackio)
+    use_tracker: bool = False
+    tracker_project: str = "spine-vision-tpu"
+    tracker_run_name: str | None = None
+
+    seed: int = 42
+
+    @model_validator(mode="after")
+    def setup_paths(self) -> "TrainingConfig":
+        if not self.run_id:
+            object.__setattr__(self, "run_id", generate_run_id())
+        if self.output_path is None:
+            object.__setattr__(
+                self, "output_path", Path("weights") / self.task / self.run_id
+            )
+        if self.use_tracker and self.tracker_run_name is None:
+            object.__setattr__(self, "tracker_run_name", self.run_id)
+        return self
+
+    @property
+    def logs_path(self) -> Path:
+        assert self.output_path is not None
+        return self.output_path / "logs"
+
+    @property
+    def config_path(self) -> Path:
+        assert self.output_path is not None
+        return self.output_path / "config.yaml"
+
+    def save_config(self) -> None:
+        """Snapshot the config as YAML into the run dir."""
+        assert self.output_path is not None
+        self.output_path.mkdir(parents=True, exist_ok=True)
+        config_dict = {
+            k: str(v) if isinstance(v, Path) else v
+            for k, v in self.model_dump().items()
+        }
+        with open(self.config_path, "w") as f:
+            yaml.dump(config_dict, f, default_flow_style=False, sort_keys=False)
+        logger.info("Saved config to: %s", self.config_path)
+
+
+@dataclass
+class TrainingResult:
+    """Container for training results."""
+
+    best_epoch: int
+    best_metric: float
+    final_train_loss: float
+    final_val_loss: float
+    history: dict[str, list[float]] = field(default_factory=dict)
+    checkpoint_path: Path | None = None
+    metadata: dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class EpochResult:
+    """Container for single epoch results."""
+
+    epoch: int
+    train_loss: float
+    val_loss: float | None = None
+    metrics: dict[str, float] = field(default_factory=dict)
+    lr: float = 0.0
+
+
+TConfig = TypeVar("TConfig", bound=TrainingConfig)
+
+
+class BaseTrainer(Generic[TConfig]):
+    """Abstract trainer with the reference's loop/hook/checkpoint surface.
+
+    Subclasses provide the model (a Flax module), the loss over outputs, and
+    metric computation; this class owns the mesh, the jitted steps, the epoch
+    loop, scheduling, early stopping, and checkpointing.
+    """
+
+    def __init__(
+        self,
+        config: TConfig,
+        model: Any,
+        train_dataset: Any,
+        val_dataset: Any | None = None,
+        sample_weights: np.ndarray | None = None,
+        collate_fn: Callable | None = None,
+    ) -> None:
+        self.config = config
+        self.model = model
+        self.train_dataset = train_dataset
+        self.val_dataset = val_dataset
+
+        # Device mesh (data parallel over ICI).
+        self.mesh_ctx: MeshContext = make_mesh(num_devices=config.num_devices)
+        if config.batch_size % self.mesh_ctx.data_axis_size != 0:
+            raise ValueError(
+                f"batch_size={config.batch_size} not divisible by data-parallel "
+                f"size {self.mesh_ctx.data_axis_size}"
+            )
+
+        self.train_loader = DataLoader(
+            train_dataset,
+            batch_size=config.batch_size,
+            shuffle=True,
+            seed=config.seed,
+            sample_weights=sample_weights,
+            collate_fn=collate_fn,
+            num_workers=config.num_workers,
+        )
+        self.val_loader = (
+            DataLoader(
+                val_dataset,
+                batch_size=config.batch_size,
+                shuffle=False,
+                drop_last=False,
+                seed=config.seed,
+                collate_fn=collate_fn,
+                num_workers=config.num_workers,
+            )
+            if val_dataset is not None and len(val_dataset) > 0
+            else None
+        )
+
+        # Optimizer + schedule.
+        steps_per_epoch = max(len(self.train_loader), 1)
+        total_steps = steps_per_epoch * config.num_epochs
+        lr = schedules.build_lr_schedule(
+            config.scheduler_type,
+            config.learning_rate,
+            total_steps,
+            steps_per_epoch,
+            warmup_epochs=config.warmup_epochs,
+            scheduler_step_size=config.scheduler_step_size,
+            scheduler_gamma=config.scheduler_gamma,
+        )
+        self.tx = schedules.build_optimizer(
+            lr, weight_decay=config.weight_decay, grad_clip=config.grad_clip
+        )
+
+        # Initialize state from one example batch shape.
+        self.state = self._init_state()
+        self._has_batch_stats = bool(self.state.batch_stats)
+
+        # Jitted steps (separate compilations per freeze flag).
+        self._train_steps: dict[bool, Callable] = {}
+        self._eval_step = make_eval_step(
+            self.model.apply,
+            self._loss_from_outputs,
+            self._has_batch_stats,
+            preprocess=self._preprocess_fn(),
+        )
+        self._frozen = self.frozen_backbone_at_start()
+
+        # Loop state.
+        self.current_epoch = 0
+        self.best_metric = float("inf")
+        self.best_epoch = 0
+        self.patience_counter = 0
+        self.plateau_counter = 0
+        self.history: dict[str, list[float]] = {
+            "train_loss": [],
+            "val_loss": [],
+            "lr": [],
+        }
+
+        assert self.config.output_path is not None
+        self.config.output_path.mkdir(parents=True, exist_ok=True)
+        self.config.logs_path.mkdir(parents=True, exist_ok=True)
+        if is_main_process():
+            self.config.save_config()
+
+        self.tracker = None
+        if config.use_tracker and is_main_process():
+            from spine_vision_tpu.viz.tracker import ExperimentTracker
+
+            self.tracker = ExperimentTracker(
+                project=config.tracker_project,
+                run_name=config.tracker_run_name or config.run_id,
+                output_path=self.config.logs_path,
+            )
+            self.tracker.log_config(config.model_dump())
+
+    # ------------------------------------------------------------------
+    # Subclass surface
+    # ------------------------------------------------------------------
+
+    def _loss_from_outputs(self, outputs: Any, batch: Any) -> jax.Array:
+        """Pure loss from model outputs + batch (traced inside jit)."""
+        raise NotImplementedError
+
+    def _preprocess_fn(self) -> Callable | None:
+        """Optional traced ``(batch, key, train) -> batch`` device preprocessing
+        (normalization + augmentation). None = batches used as-is."""
+        return None
+
+    def _example_batch(self) -> dict[str, Any]:
+        """A small host batch used for model initialization shapes."""
+        sample = self.train_dataset[0]
+        collate = self.train_loader.collate_fn
+        return collate([sample, sample])
+
+    def _compute_metrics(
+        self, outputs_list: list[Any], batches: list[Any]
+    ) -> dict[str, float]:
+        """Validation metrics from collected outputs/batches (host side)."""
+        return {}
+
+    def frozen_backbone_at_start(self) -> bool:
+        """Whether the backbone starts frozen (see LocalizationTrainer)."""
+        return False
+
+    # Hooks -------------------------------------------------------------
+
+    def on_train_begin(self) -> None:  # noqa: B027
+        pass
+
+    def on_epoch_begin(self, epoch: int) -> None:  # noqa: B027
+        pass
+
+    def on_epoch_end(self, epoch: int, metrics: dict[str, float]) -> None:  # noqa: B027
+        pass
+
+    def on_train_end(self, result: TrainingResult) -> None:  # noqa: B027
+        pass
+
+    def get_metric_for_checkpoint(
+        self, val_loss: float | None, metrics: dict[str, float]
+    ) -> float:
+        """Metric for best-model selection; lower is better."""
+        if val_loss is not None:
+            return val_loss
+        return (
+            self.history["train_loss"][-1]
+            if self.history["train_loss"]
+            else float("inf")
+        )
+
+    # ------------------------------------------------------------------
+    # Engine
+    # ------------------------------------------------------------------
+
+    def _init_state(self) -> TrainState:
+        batch = self._example_batch()
+        # Init with float zeros of the post-preprocess shape (preprocessing
+        # preserves image shape; uint8 batches become floats on device).
+        images = np.zeros(np.asarray(batch["image"]).shape, dtype=np.float32)
+        key = jax.random.PRNGKey(self.config.seed)
+        variables = self.model.init(
+            {"params": key, "dropout": key}, images, train=False
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats")
+        state = TrainState.create(
+            params=params, tx=self.tx, batch_stats=batch_stats, seed=self.config.seed
+        )
+        # Replicate across the mesh so jitted steps see replicated inputs.
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, self.mesh_ctx.replicated())
+            if hasattr(x, "shape")
+            else x,
+            state,
+        )
+
+    def _get_train_step(self) -> Callable:
+        frozen = self._frozen
+        if frozen not in self._train_steps:
+            self._train_steps[frozen] = make_train_step(
+                self.model.apply,
+                self._loss_from_outputs,
+                self._has_batch_stats,
+                frozen_backbone=frozen,
+                preprocess=self._preprocess_fn(),
+            )
+        return self._train_steps[frozen]
+
+    def set_backbone_frozen(self, frozen: bool) -> None:
+        """Freeze/unfreeze backbone (swaps to the matching compiled step)."""
+        self._frozen = frozen
+
+    def count_parameters(self) -> int:
+        return int(
+            sum(np.prod(x.shape) for x in jax.tree_util.tree_leaves(self.state.params))
+        )
+
+    def _shard(self, batch: dict[str, Any]) -> dict[str, Any]:
+        """Move array fields of a host batch onto the mesh (metadata stays)."""
+        arrays = {
+            k: v
+            for k, v in batch.items()
+            if isinstance(v, (np.ndarray, jax.Array))
+            or (isinstance(v, dict) and k != "metadata")
+        }
+        return self.mesh_ctx.shard_batch(arrays)
+
+    def _shard_eval(self, batch: dict[str, Any]) -> tuple[dict[str, Any], int]:
+        """Shard an eval batch, padding the trailing partial batch to a mesh
+        multiple (repeat last sample). Returns (device_batch, n_valid); step
+        outputs must be sliced back with :meth:`_slice_outputs`."""
+        arrays = {
+            k: v
+            for k, v in batch.items()
+            if isinstance(v, (np.ndarray, jax.Array))
+            or (isinstance(v, dict) and k != "metadata")
+        }
+        padded, n_valid = pad_to_multiple(arrays, self.mesh_ctx.data_axis_size)
+        return self.mesh_ctx.shard_batch(padded), n_valid
+
+    @staticmethod
+    def _slice_outputs(outputs: Any, n_valid: int) -> Any:
+        """Drop padded rows from eval-step outputs (host side)."""
+        return jax.tree_util.tree_map(
+            lambda x: np.asarray(x)[:n_valid], jax.device_get(outputs)
+        )
+
+    def train(self) -> TrainingResult:
+        """Run the full training loop."""
+        logger.info("Starting training for %d epochs", self.config.num_epochs)
+        logger.info("Parameters: %s", f"{self.count_parameters():,}")
+        logger.info(
+            "Mesh: %d device(s) data-parallel", self.mesh_ctx.data_axis_size
+        )
+        logger.info("Train samples: %d", len(self.train_dataset))
+        if self.val_dataset is not None:
+            logger.info("Val samples: %d", len(self.val_dataset))
+
+        if self.config.checkpoint_path:
+            self._load(self.config.checkpoint_path)
+
+        self.on_train_begin()
+
+        for epoch in range(self.current_epoch, self.config.num_epochs):
+            self.current_epoch = epoch
+            self.on_epoch_begin(epoch)
+
+            epoch_start = time.perf_counter()
+            train_loss = self._train_epoch()
+            epoch_time = time.perf_counter() - epoch_start
+            lr = schedules.current_lr(self.state.opt_state)
+            self.history["train_loss"].append(train_loss)
+            self.history["lr"].append(lr)
+
+            val_loss: float | None = None
+            metrics: dict[str, float] = {}
+            if self.val_loader and (epoch + 1) % self.config.val_frequency == 0:
+                val_loss, metrics = self._validate_epoch()
+                self.history["val_loss"].append(val_loss)
+                for key, value in metrics.items():
+                    self.history.setdefault(key, []).append(value)
+
+            # Plateau scheduler: decay injected lr on stagnating val loss.
+            if self.config.scheduler_type == "plateau" and val_loss is not None:
+                self._plateau_step(val_loss)
+
+            self._log_epoch(epoch, train_loss, val_loss, metrics, lr, epoch_time)
+            if self.tracker is not None:
+                tracked = {"train/loss": train_loss, "train/lr": lr}
+                if val_loss is not None:
+                    tracked["val/loss"] = val_loss
+                tracked.update({f"val/{k}": v for k, v in metrics.items()})
+                self.tracker.log_metrics(tracked, step=epoch)
+
+            epoch_metrics = {"train_loss": train_loss, "val_loss": val_loss, **metrics}
+            self.on_epoch_end(epoch, epoch_metrics)
+
+            metric_for_ckpt = self.get_metric_for_checkpoint(val_loss, metrics)
+            if metric_for_ckpt < self.best_metric - self.config.min_delta:
+                self.best_metric = metric_for_ckpt
+                self.best_epoch = epoch
+                self.patience_counter = 0
+                self._save(is_best=True)
+            else:
+                self.patience_counter += 1
+
+            if (epoch + 1) % self.config.save_frequency == 0:
+                self._save(is_best=False)
+
+            if (
+                self.config.early_stopping
+                and self.patience_counter >= self.config.patience
+            ):
+                logger.info("Early stopping at epoch %d", epoch + 1)
+                break
+
+        # Reload best model.
+        assert self.config.output_path is not None
+        best = self.config.output_path / "best_model"
+        if best.exists():
+            self._load(best)
+
+        result = TrainingResult(
+            best_epoch=self.best_epoch,
+            best_metric=self.best_metric,
+            final_train_loss=(
+                self.history["train_loss"][-1] if self.history["train_loss"] else 0.0
+            ),
+            final_val_loss=(
+                self.history["val_loss"][-1] if self.history["val_loss"] else 0.0
+            ),
+            history=self.history,
+            checkpoint_path=best,
+        )
+        self.on_train_end(result)
+        if self.tracker is not None:
+            self.tracker.finish()
+        return result
+
+    def _train_epoch(self) -> float:
+        step_fn = self._get_train_step()
+        self.train_loader.set_epoch(self.current_epoch)
+        total = 0.0
+        count = 0
+        loss = None
+        for batch_idx, batch in enumerate(self.train_loader):
+            device_batch = self._shard(batch)
+            self.state, loss = step_fn(self.state, device_batch)
+            # Async dispatch: only sync for logging.
+            if (batch_idx + 1) % self.config.log_frequency == 0:
+                lval = float(jax.device_get(loss))
+                total += lval
+                count += 1
+                logger.debug(
+                    "Epoch %d [%d/%d] Loss: %.6f",
+                    self.current_epoch,
+                    batch_idx + 1,
+                    len(self.train_loader),
+                    lval,
+                )
+            else:
+                total += float(jax.device_get(loss))
+                count += 1
+        return total / max(count, 1)
+
+    def _validate_epoch(self) -> tuple[float, dict[str, float]]:
+        assert self.val_loader is not None
+        total = 0.0
+        count = 0
+        outputs_list: list[Any] = []
+        batches: list[Any] = []
+        for batch in self.val_loader:
+            device_batch, n_valid = self._shard_eval(batch)
+            outputs, loss = self._eval_step(self.state, device_batch)
+            total += float(jax.device_get(loss))
+            count += 1
+            outputs_list.append(self._slice_outputs(outputs, n_valid))
+            batches.append(batch)
+        avg_loss = total / max(count, 1)
+        metrics = self._compute_metrics(outputs_list, batches)
+        return avg_loss, metrics
+
+    def _plateau_step(self, val_loss: float) -> None:
+        best_val = min(self.history["val_loss"][:-1], default=float("inf"))
+        if val_loss < best_val - 1e-12:
+            self.plateau_counter = 0
+        else:
+            self.plateau_counter += 1
+            if self.plateau_counter > self.config.scheduler_patience:
+                new_lr = schedules.current_lr(self.state.opt_state) * (
+                    self.config.scheduler_gamma
+                )
+                logger.info("Plateau: reducing lr to %.2e", new_lr)
+                self.state = self.state.replace(
+                    opt_state=schedules.set_lr(self.state.opt_state, new_lr)
+                )
+                self.plateau_counter = 0
+
+    def _log_epoch(
+        self,
+        epoch: int,
+        train_loss: float,
+        val_loss: float | None,
+        metrics: dict[str, float],
+        lr: float,
+        epoch_time: float,
+    ) -> None:
+        msg = (
+            f"Epoch {epoch + 1}/{self.config.num_epochs}"
+            f" - Train Loss: {train_loss:.6f}"
+        )
+        if val_loss is not None:
+            msg += f" - Val Loss: {val_loss:.6f}"
+        for key, value in metrics.items():
+            msg += f" - {key}: {value:.4f}"
+        msg += f" - LR: {lr:.2e} - {epoch_time:.1f}s"
+        logger.info(msg)
+
+    def _save(self, is_best: bool) -> None:
+        if not is_main_process():
+            return
+        assert self.config.output_path is not None
+        name = (
+            "best_model"
+            if is_best
+            else f"checkpoint_epoch_{self.current_epoch + 1}"
+        )
+        meta = {
+            "epoch": self.current_epoch,
+            "best_metric": self.best_metric,
+            "best_epoch": self.best_epoch,
+            "history": self.history,
+            "config": {
+                k: str(v) if isinstance(v, Path) else v
+                for k, v in self.config.model_dump().items()
+            },
+        }
+        save_checkpoint(self.config.output_path / name, self.state, meta)
+        logger.debug("Saved checkpoint: %s", name)
+
+    def _load(self, path: Path) -> None:
+        self.state, meta = load_checkpoint(Path(path), self.state)
+        if meta:
+            self.current_epoch = int(meta.get("epoch", -1)) + 1
+            self.best_metric = float(meta.get("best_metric", float("inf")))
+            self.best_epoch = int(meta.get("best_epoch", 0))
+            self.history = meta.get("history", self.history)
+        logger.info("Loaded checkpoint from %s", path)
