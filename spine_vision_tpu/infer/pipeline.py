@@ -1,0 +1,328 @@
+"""Fused two-stage study inference: localization -> crop -> grading, one jit.
+
+The reference chains these stages host-side with a device round trip per
+image (datasets/classification/spider.py:114-152, cropping.py:444-483: a
+batch-1 forward, ``.cpu().numpy()``, cv2 warps, another forward). Here the
+whole per-study graph runs as ONE compiled XLA program over a batch of
+studies:
+
+    padded sagittal slices [N, S, Hp, Wp]
+      -> per-slice min-max normalize (masked to the true extent)
+      -> dynamic-extent resize to the localization input (512^2)
+      -> ConvNeXt localization forward           [N*S, L, 2] coords
+      -> spine-tangent rotation angles (traced)  [N*S, L]
+      -> mm->pixel crop deltas from per-slice spacing
+      -> fused rotate+crop+normalize+letterbox   [N*S, L, ch, cw] uint8
+      -> [T2, T1, T2] channel assembly           [N*L, ch, cw, 3]
+      -> ResNet multi-task grading forward       {task: [N, L, C]}
+
+Slice sizes vary per study; buffers are padded to a static (Hp, Wp) with the
+true (h, w) carried as traced integers, so there is exactly one compiled
+program per batch size.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spine_vision_tpu.core import logger
+from spine_vision_tpu.core.tasks import (
+    TaskConfig,
+    compute_predictions_for_tasks,
+    compute_probabilities_for_tasks,
+    get_tasks,
+)
+from spine_vision_tpu.models import Classifier, CoordinateRegressor
+from spine_vision_tpu.ops.crop import crop_ivd_regions_impl
+from spine_vision_tpu.ops.geometry import mm_to_pixels_jax, rotation_angles_jax
+from spine_vision_tpu.ops.image import imagenet_normalize, resize_dynamic
+
+SERIES_ORDER = ("sag_t1", "sag_t2")  # index 0 = T1, 1 = T2
+
+
+@dataclass(frozen=True)
+class StudyPipelineConfig:
+    """Static configuration of the fused study graph.
+
+    Defaults mirror the reference classification dataset config
+    (datasets/classification/config.py:12-83).
+    """
+
+    loc_image_size: tuple[int, int] = (512, 512)
+    crop_size: tuple[int, int] = (256, 256)
+    crop_delta_mm: tuple[float, float, float, float] = (55.0, 15.0, 17.5, 20.0)
+    crop_mode: str = "rotated"  # "rotated" | "horizontal"
+    last_disc_angle_boost: float = 1.0
+    num_levels: int = 5
+    padded_hw: tuple[int, int] = (1024, 1024)
+    window_cap: int = 640
+
+
+@dataclass
+class StudyInput:
+    """One study: middle sagittal slices per series with their spacing."""
+
+    t1_slice: np.ndarray  # [h, w] raw intensities
+    t2_slice: np.ndarray
+    t1_spacing: tuple[float, float]  # (row, col) mm/px of the sagittal plane
+    t2_spacing: tuple[float, float]
+    study_id: str = ""
+
+
+@dataclass
+class StudyResult:
+    """Per-study outputs of the fused graph (host numpy)."""
+
+    study_id: str
+    coords: np.ndarray  # [S, L, 2] normalized per-series disc centers
+    angles: np.ndarray  # [S, L] rotation angles (deg)
+    crops: np.ndarray  # [S, L, ch, cw] uint8 letterboxed crops
+    logits: dict[str, np.ndarray]  # task -> [L, C]
+    predictions: dict[str, np.ndarray] = field(default_factory=dict)
+    probabilities: dict[str, np.ndarray] = field(default_factory=dict)
+
+
+class StudyInferencePipeline:
+    """Batched fused localization->crop->grading executor."""
+
+    def __init__(
+        self,
+        loc_model: CoordinateRegressor,
+        loc_variables: Any,
+        cls_model: Classifier,
+        cls_variables: Any,
+        config: StudyPipelineConfig | None = None,
+        tasks: list[TaskConfig] | None = None,
+    ) -> None:
+        self.config = config or StudyPipelineConfig()
+        self.loc_model = loc_model
+        self.cls_model = cls_model
+        self.loc_variables = loc_variables
+        self.cls_variables = cls_variables
+        self.tasks = tasks if tasks is not None else get_tasks()
+        self._run = jax.jit(self._fused)
+
+    # ------------------------------------------------------------------
+    # The fused graph
+    # ------------------------------------------------------------------
+    def _fused(
+        self,
+        loc_vars: Any,
+        cls_vars: Any,
+        slices: jax.Array,  # [N, S, Hp, Wp] float32, raw intensities
+        hw: jax.Array,  # [N, S, 2] int32 true extents
+        spacing: jax.Array,  # [N, S, 2] float32 (row, col) mm/px
+    ) -> dict[str, Any]:
+        cfg = self.config
+        n, s, hp, wp = slices.shape
+        ns = n * s
+        flat = slices.reshape(ns, hp, wp).astype(jnp.float32)
+        flat_hw = hw.reshape(ns, 2)
+        flat_spacing = spacing.reshape(ns, 2)
+
+        # Per-slice min-max -> [0, 255] over the true extent only
+        # (reference normalize_to_uint8, io/__init__.py:15-31).
+        rows = jnp.arange(hp)[None, :, None]
+        cols = jnp.arange(wp)[None, None, :]
+        valid = (rows < flat_hw[:, 0, None, None]) & (
+            cols < flat_hw[:, 1, None, None]
+        )
+        big = jnp.float32(3.4e38)
+        smin = jnp.min(jnp.where(valid, flat, big), axis=(1, 2), keepdims=True)
+        smax = jnp.max(jnp.where(valid, flat, -big), axis=(1, 2), keepdims=True)
+        inv = jnp.where(smax > smin, 1.0 / jnp.maximum(smax - smin, 1e-12), 0.0)
+        flat = jnp.where(valid, (flat - smin) * inv * 255.0, 0.0)
+
+        # Localization forward on dynamically-resized slices.
+        lh, lw = cfg.loc_image_size
+        loc_in = jax.vmap(lambda im, e: resize_dynamic(im, e, lh, lw))(
+            flat, flat_hw
+        )
+        loc_rgb = imagenet_normalize(
+            jnp.repeat(loc_in[..., None] / 255.0, 3, axis=-1)
+        )
+        coords = self.loc_model.apply(
+            loc_vars, loc_rgb.astype(jnp.float32), train=False
+        ).astype(jnp.float32)  # [NS, L, 2]
+
+        # Crop geometry (all traced).
+        if cfg.crop_mode == "rotated":
+            angles = jax.vmap(
+                lambda c, e: rotation_angles_jax(
+                    c, e, cfg.last_disc_angle_boost
+                )
+            )(coords, flat_hw)
+        else:
+            angles = jnp.zeros((ns, cfg.num_levels), dtype=jnp.float32)
+        delta_mm = jnp.asarray(cfg.crop_delta_mm, dtype=jnp.float32)
+        deltas = jax.vmap(lambda sp: mm_to_pixels_jax(delta_mm, sp))(
+            flat_spacing
+        )  # [NS, 4]
+
+        ch, cw = cfg.crop_size
+        crop_fn = functools.partial(
+            crop_ivd_regions_impl,
+            crop_h=ch,
+            crop_w=cw,
+            window_cap=cfg.window_cap,
+        )
+        crops = jax.vmap(
+            lambda im, c, a, d, e: crop_fn(im, c, a, d, image_hw=e)
+        )(flat, coords, angles, deltas, flat_hw)  # [NS, L, ch, cw] uint8
+
+        crops = crops.reshape(n, s, cfg.num_levels, ch, cw)
+
+        # Channel assembly [T2, T1, T2] (reference construct_3channel,
+        # training/datasets/classification.py:40-68).
+        t1 = crops[:, 0].astype(jnp.float32) / 255.0
+        t2 = crops[:, 1].astype(jnp.float32) / 255.0
+        rgb = jnp.stack([t2, t1, t2], axis=-1)  # [N, L, ch, cw, 3]
+        cls_in = imagenet_normalize(rgb.reshape(n * cfg.num_levels, ch, cw, 3))
+        logits = self.cls_model.apply(cls_vars, cls_in, train=False)
+        logits = {
+            k: v.reshape(n, cfg.num_levels, *v.shape[1:]).astype(jnp.float32)
+            for k, v in logits.items()
+        }
+
+        return {
+            "coords": coords.reshape(n, s, cfg.num_levels, 2),
+            "angles": angles.reshape(n, s, cfg.num_levels),
+            "crops": crops,
+            "logits": logits,
+        }
+
+    # ------------------------------------------------------------------
+    # Host orchestration
+    # ------------------------------------------------------------------
+    def _pack(
+        self, studies: list[StudyInput]
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        hp, wp = self.config.padded_hw
+        n = len(studies)
+        slices = np.zeros((n, 2, hp, wp), dtype=np.float32)
+        hw = np.zeros((n, 2, 2), dtype=np.int32)
+        spacing = np.ones((n, 2, 2), dtype=np.float32)
+        for i, study in enumerate(studies):
+            for j, (sl, sp) in enumerate(
+                (
+                    (study.t1_slice, study.t1_spacing),
+                    (study.t2_slice, study.t2_spacing),
+                )
+            ):
+                arr = np.asarray(sl, dtype=np.float32)
+                h, w = arr.shape
+                if h > hp or w > wp:
+                    raise ValueError(
+                        f"slice {arr.shape} exceeds padded_hw {self.config.padded_hw}"
+                    )
+                slices[i, j, :h, :w] = arr
+                hw[i, j] = (h, w)
+                spacing[i, j] = sp
+        return slices, hw, spacing
+
+    def run(self, studies: list[StudyInput]) -> list[StudyResult]:
+        """Run the fused graph on a batch of studies, decode on host."""
+        slices, hw, spacing = self._pack(studies)
+        out = self._run(
+            self.loc_variables,
+            self.cls_variables,
+            jnp.asarray(slices),
+            jnp.asarray(hw),
+            jnp.asarray(spacing),
+        )
+        out = jax.device_get(out)
+        results = []
+        for i, study in enumerate(studies):
+            logits = {k: np.asarray(v[i]) for k, v in out["logits"].items()}
+            results.append(
+                StudyResult(
+                    study_id=study.study_id,
+                    coords=np.asarray(out["coords"][i]),
+                    angles=np.asarray(out["angles"][i]),
+                    crops=np.asarray(out["crops"][i]),
+                    logits=logits,
+                    predictions=compute_predictions_for_tasks(logits, self.tasks),
+                    probabilities=compute_probabilities_for_tasks(
+                        logits, self.tasks
+                    ),
+                )
+            )
+        return results
+
+    # ------------------------------------------------------------------
+    # Construction from trained checkpoints
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_checkpoints(
+        cls,
+        loc_checkpoint: Path,
+        cls_checkpoint: Path,
+        loc_backbone: str = "convnext_base",
+        cls_backbone: str = "resnet18",
+        config: StudyPipelineConfig | None = None,
+        tasks: list[TaskConfig] | None = None,
+        dtype: Any = jnp.bfloat16,
+    ) -> "StudyInferencePipeline":
+        """Load both stages from orbax run dirs (train/checkpoint.py layout)."""
+        import optax
+
+        from spine_vision_tpu.train.checkpoint import load_checkpoint
+        from spine_vision_tpu.train.state import TrainState
+
+        config = config or StudyPipelineConfig()
+        task_list = tasks if tasks is not None else get_tasks()
+
+        loc_model = CoordinateRegressor(
+            backbone_name=loc_backbone, num_levels=config.num_levels, dtype=dtype
+        )
+        lh, lw = config.loc_image_size
+        loc_init = loc_model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, lh, lw, 3), dtype=dtype),
+            train=False,
+        )
+        loc_state = TrainState.create(
+            params=loc_init["params"],
+            tx=optax.identity(),
+            batch_stats=loc_init.get("batch_stats"),
+        )
+        loc_state, _ = load_checkpoint(Path(loc_checkpoint), loc_state)
+
+        cls_model = Classifier(
+            backbone_name=cls_backbone, tasks=tuple(task_list), dtype=dtype
+        )
+        ch, cw = config.crop_size
+        cls_init = cls_model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, ch, cw, 3), dtype=dtype),
+            train=False,
+        )
+        cls_state = TrainState.create(
+            params=cls_init["params"],
+            tx=optax.identity(),
+            batch_stats=cls_init.get("batch_stats"),
+        )
+        cls_state, _ = load_checkpoint(Path(cls_checkpoint), cls_state)
+
+        logger.info(
+            "Loaded pipeline: loc=%s (%s), cls=%s (%s)",
+            loc_backbone,
+            loc_checkpoint,
+            cls_backbone,
+            cls_checkpoint,
+        )
+        return cls(
+            loc_model,
+            loc_state.variables(),
+            cls_model,
+            cls_state.variables(),
+            config=config,
+            tasks=task_list,
+        )

@@ -146,10 +146,7 @@ def _crop_one_level(
     return jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("crop_h", "crop_w", "window_cap")
-)
-def crop_ivd_regions(
+def crop_ivd_regions_impl(
     image: Array,
     centers_xy: Array,
     angles_deg: Array,
@@ -199,3 +196,12 @@ def crop_ivd_regions(
     return jax.vmap(lambda c, a: fn(c, a, delta))(
         centers_xy.astype(jnp.float32), angles_deg.astype(jnp.float32)
     )
+
+
+crop_ivd_regions = functools.partial(
+    jax.jit, static_argnames=("crop_h", "crop_w", "window_cap")
+)(crop_ivd_regions_impl)
+"""Jitted entry point for :func:`crop_ivd_regions_impl` (one image).
+
+The unjitted ``_impl`` is exposed for composition (vmap over studies inside
+the fused inference graph, infer/pipeline.py)."""

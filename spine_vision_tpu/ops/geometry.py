@@ -7,7 +7,9 @@ either on host numpy (dataset building) or inside jit (fused inference graph).
 
 from __future__ import annotations
 
+import jax.numpy as jnp
 import numpy as np
+from jax import Array
 
 
 def mm_to_pixels(
@@ -126,3 +128,72 @@ def rotation_angles_array(
     }
     angle_map = get_rotation_angles(locations, image_shape, last_disc_angle_boost)
     return np.array([angle_map[i] for i in range(len(locations))], dtype=np.float32)
+
+
+def mm_to_pixels_jax(delta_mm: Array, spacing_rc: Array) -> Array:
+    """Traced mm->pixel crop deltas (left, right, top, bottom).
+
+    Args:
+        delta_mm: [4] (left, right, top, bottom) in mm.
+        spacing_rc: [2] (row_spacing, col_spacing) mm/pixel.
+
+    Returns:
+        [4] float deltas in pixels (rounded, matching :func:`mm_to_pixels`).
+    """
+    delta_mm = jnp.asarray(delta_mm, dtype=jnp.float32)
+    divisor = jnp.stack(
+        [spacing_rc[1], spacing_rc[1], spacing_rc[0], spacing_rc[0]]
+    ).astype(jnp.float32)
+    return jnp.round(delta_mm / divisor)
+
+
+def rotation_angles_jax(
+    centers_xy: Array,
+    image_hw: Array,
+    last_disc_angle_boost: float | Array = 1.0,
+) -> Array:
+    """Traced spine-tangent rotation angles for ordered [L, 2] centers.
+
+    Jit-compatible equivalent of :func:`rotation_angles_array` (L >= 3,
+    centers ordered top-to-bottom as the model emits them): forward
+    difference at the first disc, central differences in the middle, and the
+    derivative of the quadratic through the last three discs at the last disc
+    (Newton divided differences replace np.polyfit). Angle is negated to
+    flatten the local tilt; the last angle is scaled by the boost
+    (reference cropping.py:172-255).
+
+    Args:
+        centers_xy: [L, 2] normalized (x, y), ordered by level.
+        image_hw: [2] (H, W) used to denormalize.
+        last_disc_angle_boost: Multiplier for the last disc's angle.
+
+    Returns:
+        [L] rotation angles in degrees (float32).
+    """
+    centers_xy = jnp.asarray(centers_xy, dtype=jnp.float32)
+    hw = jnp.asarray(image_hw, dtype=jnp.float32)
+    x = centers_xy[:, 0] * hw[1]
+    y = centers_xy[:, 1] * hw[0]
+    num = x.shape[0]
+
+    def safe_div(a: Array, b: Array) -> Array:
+        return jnp.where(b != 0, a / jnp.where(b != 0, b, 1.0), 0.0)
+
+    # Central differences for interior points; forward difference at index 0.
+    dxdy = jnp.zeros((num,), dtype=jnp.float32)
+    dxdy = dxdy.at[0].set(safe_div(x[1] - x[0], y[1] - y[0]))
+    if num > 2:
+        interior = safe_div(x[2:] - x[:-2], y[2:] - y[:-2])
+        dxdy = dxdy.at[1:-1].set(interior)
+        # Quadratic through the last three points, derivative at the last.
+        y0, y1, y2 = y[-3], y[-2], y[-1]
+        x0, x1, x2 = x[-3], x[-2], x[-1]
+        f01 = safe_div(x1 - x0, y1 - y0)
+        f12 = safe_div(x2 - x1, y2 - y1)
+        a = safe_div(f12 - f01, y2 - y0)
+        dxdy = dxdy.at[-1].set(f01 + a * (2.0 * y2 - y0 - y1))
+    else:
+        dxdy = dxdy.at[-1].set(safe_div(x[-1] - x[-2], y[-1] - y[-2]))
+
+    angles = -jnp.degrees(jnp.arctan(dxdy))
+    return angles.at[-1].multiply(jnp.float32(last_disc_angle_boost))

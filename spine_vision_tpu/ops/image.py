@@ -103,6 +103,49 @@ def bilinear_resize(image: Array, out_h: int, out_w: int) -> Array:
     return bilinear_sample(image, ys[:, None], xs[None, :])
 
 
+def resize_dynamic(image: Array, hw: Array, out_h: int, out_w: int) -> Array:
+    """Bilinear-resize the valid [0:h, 0:w] region of a padded image.
+
+    Jit-compatible with a traced extent: ``image`` is a statically-shaped
+    (possibly padded) buffer and ``hw`` the actual (h, w). Used by the fused
+    study graph where per-study slice sizes vary but compiled shapes must not
+    (the reference resizes each slice with torchvision before localization,
+    cropping.py:455-460).
+
+    Args:
+        image: [Hp, Wp] padded buffer.
+        hw: [2] actual (h, w), integer-valued (traced).
+        out_h, out_w: Static output size.
+
+    Returns:
+        [out_h, out_w] float32.
+    """
+    image = image.astype(jnp.float32)
+    hf = hw[0].astype(jnp.float32)
+    wf = hw[1].astype(jnp.float32)
+    ys = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) * (hf / out_h) - 0.5
+    xs = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) * (wf / out_w) - 0.5
+    ys = jnp.clip(ys, 0.0, hf - 1.0)[:, None]
+    xs = jnp.clip(xs, 0.0, wf - 1.0)[None, :]
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    wy = ys - y0
+    wx = xs - x0
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    h_act = hw[0].astype(jnp.int32)
+    w_act = hw[1].astype(jnp.int32)
+    y1i = jnp.minimum(y0i + 1, h_act - 1)
+    x1i = jnp.minimum(x0i + 1, w_act - 1)
+    v00 = image[y0i, x0i]
+    v01 = image[y0i, x1i]
+    v10 = image[y1i, x0i]
+    v11 = image[y1i, x1i]
+    top = v00 * (1.0 - wx) + v01 * wx
+    bot = v10 * (1.0 - wx) + v11 * wx
+    return top * (1.0 - wy) + bot * wy
+
+
 @functools.partial(jax.jit, static_argnames=("target_h", "target_w"))
 def resize_with_padding(image: Array, target_h: int, target_w: int) -> Array:
     """Letterbox a 2D image onto a zero canvas without distortion.

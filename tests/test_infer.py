@@ -1,0 +1,149 @@
+"""Fused study-inference graph: shape/parity tests on synthetic studies."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spine_vision_tpu.infer import (
+    StudyInferencePipeline,
+    StudyInput,
+    StudyPipelineConfig,
+)
+from spine_vision_tpu.models import Classifier, CoordinateRegressor
+from spine_vision_tpu.ops.geometry import (
+    mm_to_pixels,
+    mm_to_pixels_jax,
+    rotation_angles_array,
+    rotation_angles_jax,
+)
+from spine_vision_tpu.ops.image import bilinear_resize, resize_dynamic
+
+
+def test_rotation_angles_jax_matches_host():
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        x = rng.uniform(0.3, 0.7, 5)
+        y = np.sort(rng.uniform(0.1, 0.9, 5))
+        centers = np.stack([x, y], axis=1).astype(np.float32)
+        host = rotation_angles_array(centers, (413, 307), 1.3)
+        traced = np.asarray(
+            rotation_angles_jax(
+                jnp.asarray(centers), jnp.asarray([413, 307]), 1.3
+            )
+        )
+        np.testing.assert_allclose(traced, host, rtol=1e-4, atol=1e-3)
+
+
+def test_mm_to_pixels_jax_matches_host():
+    delta = (55.0, 15.0, 17.5, 20.0)
+    for spacing in [(0.6875, 0.6875), (0.3, 0.5), (1.0, 1.0)]:
+        host = mm_to_pixels(delta, spacing)
+        traced = np.asarray(
+            mm_to_pixels_jax(jnp.asarray(delta), jnp.asarray(spacing))
+        )
+        np.testing.assert_array_equal(traced, np.asarray(host, dtype=np.float32))
+
+
+def test_resize_dynamic_matches_static_resize():
+    rng = np.random.default_rng(1)
+    img = rng.uniform(0, 255, (96, 80)).astype(np.float32)
+    padded = np.zeros((128, 128), dtype=np.float32)
+    padded[:96, :80] = img
+    out_dyn = np.asarray(
+        resize_dynamic(jnp.asarray(padded), jnp.asarray([96, 80]), 64, 64)
+    )
+    out_static = np.asarray(bilinear_resize(jnp.asarray(img), 64, 64))
+    np.testing.assert_allclose(out_dyn, out_static, rtol=1e-5, atol=1e-3)
+
+
+@pytest.fixture(scope="module")
+def tiny_pipeline():
+    config = StudyPipelineConfig(
+        loc_image_size=(64, 64),
+        crop_size=(32, 32),
+        padded_hw=(128, 128),
+        window_cap=96,
+    )
+    loc_model = CoordinateRegressor(
+        backbone_name="resnet18", dtype=jnp.float32
+    )
+    loc_vars = loc_model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
+    )
+    cls_model = Classifier(backbone_name="resnet18", dtype=jnp.float32)
+    cls_vars = cls_model.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3)), train=False
+    )
+    return StudyInferencePipeline(
+        loc_model, loc_vars, cls_model, cls_vars, config=config
+    )
+
+
+def _synthetic_studies(n, rng):
+    studies = []
+    for i in range(n):
+        h1, w1 = int(rng.integers(64, 128)), int(rng.integers(64, 128))
+        h2, w2 = int(rng.integers(64, 128)), int(rng.integers(64, 128))
+        studies.append(
+            StudyInput(
+                t1_slice=rng.normal(100, 30, (h1, w1)).astype(np.float32),
+                t2_slice=rng.normal(100, 30, (h2, w2)).astype(np.float32),
+                t1_spacing=(0.6, 0.6),
+                t2_spacing=(0.7, 0.5),
+                study_id=f"study{i}",
+            )
+        )
+    return studies
+
+
+def test_pipeline_shapes_and_decode(tiny_pipeline):
+    rng = np.random.default_rng(2)
+    results = tiny_pipeline.run(_synthetic_studies(2, rng))
+    assert len(results) == 2
+    r = results[0]
+    assert r.coords.shape == (2, 5, 2)
+    assert np.all(r.coords >= 0) and np.all(r.coords <= 1)
+    assert r.angles.shape == (2, 5)
+    assert r.crops.shape == (2, 5, 32, 32)
+    assert r.crops.dtype == np.uint8
+    for task_name, logit in r.logits.items():
+        assert logit.shape[0] == 5, task_name
+        assert r.predictions[task_name].shape[0] == 5
+        probs = r.probabilities[task_name]
+        assert np.all(probs >= 0) and np.all(probs <= 1)
+
+
+def test_pipeline_deterministic(tiny_pipeline):
+    rng = np.random.default_rng(3)
+    studies = _synthetic_studies(1, rng)
+    r1 = tiny_pipeline.run(studies)[0]
+    r2 = tiny_pipeline.run(studies)[0]
+    np.testing.assert_array_equal(r1.crops, r2.crops)
+    np.testing.assert_allclose(r1.coords, r2.coords)
+    for k in r1.logits:
+        np.testing.assert_allclose(r1.logits[k], r2.logits[k], rtol=1e-5)
+
+
+def test_pipeline_horizontal_mode_zero_angles():
+    config = StudyPipelineConfig(
+        loc_image_size=(64, 64),
+        crop_size=(32, 32),
+        padded_hw=(128, 128),
+        window_cap=96,
+        crop_mode="horizontal",
+    )
+    loc_model = CoordinateRegressor(backbone_name="resnet18", dtype=jnp.float32)
+    loc_vars = loc_model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
+    )
+    cls_model = Classifier(backbone_name="resnet18", dtype=jnp.float32)
+    cls_vars = cls_model.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3)), train=False
+    )
+    pipe = StudyInferencePipeline(
+        loc_model, loc_vars, cls_model, cls_vars, config=config
+    )
+    rng = np.random.default_rng(4)
+    result = pipe.run(_synthetic_studies(1, rng))[0]
+    np.testing.assert_array_equal(result.angles, np.zeros((2, 5)))
