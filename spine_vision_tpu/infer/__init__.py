@@ -1,17 +1,23 @@
 """Fused two-stage study inference (localization -> crop -> grading)."""
 
 from spine_vision_tpu.infer.pipeline import (
+    DEFAULT_IVD_CENTERS_XY,
     SERIES_ORDER,
+    SeriesCropPipeline,
     StudyInferencePipeline,
     StudyInput,
     StudyPipelineConfig,
     StudyResult,
+    loc_and_crop,
 )
 
 __all__ = [
+    "DEFAULT_IVD_CENTERS_XY",
     "SERIES_ORDER",
+    "SeriesCropPipeline",
     "StudyInferencePipeline",
     "StudyInput",
     "StudyPipelineConfig",
     "StudyResult",
+    "loc_and_crop",
 ]

@@ -46,6 +46,13 @@ from spine_vision_tpu.ops.image import imagenet_normalize, resize_dynamic
 
 SERIES_ORDER = ("sag_t1", "sag_t2")  # index 0 = T1, 1 = T2
 
+# Approximate normalized (x, y) IVD centers L1/L2..L5/S1 used when no
+# localization model is available (reference cropping.py:28-34, 486-492).
+DEFAULT_IVD_CENTERS_XY = np.array(
+    [(0.5, 0.25), (0.5, 0.35), (0.5, 0.45), (0.5, 0.55), (0.5, 0.65)],
+    dtype=np.float32,
+)
+
 
 @dataclass(frozen=True)
 class StudyPipelineConfig:
@@ -89,6 +96,149 @@ class StudyResult:
     probabilities: dict[str, np.ndarray] = field(default_factory=dict)
 
 
+def _normalize_slices_masked(
+    flat: jax.Array, flat_hw: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Per-slice min-max -> [0, 255] over the true extent only
+    (reference normalize_to_uint8, io/__init__.py:15-31).
+
+    Returns (normalized [M, Hp, Wp], valid mask [M, Hp, Wp]).
+    """
+    _, hp, wp = flat.shape
+    rows = jnp.arange(hp)[None, :, None]
+    cols = jnp.arange(wp)[None, None, :]
+    valid = (rows < flat_hw[:, 0, None, None]) & (cols < flat_hw[:, 1, None, None])
+    big = jnp.float32(3.4e38)
+    smin = jnp.min(jnp.where(valid, flat, big), axis=(1, 2), keepdims=True)
+    smax = jnp.max(jnp.where(valid, flat, -big), axis=(1, 2), keepdims=True)
+    inv = jnp.where(smax > smin, 1.0 / jnp.maximum(smax - smin, 1e-12), 0.0)
+    return jnp.where(valid, (flat - smin) * inv * 255.0, 0.0), valid
+
+
+def loc_and_crop(
+    loc_model: CoordinateRegressor | None,
+    cfg: StudyPipelineConfig,
+    loc_vars: Any,
+    flat: jax.Array,  # [M, Hp, Wp] float32 raw intensities
+    flat_hw: jax.Array,  # [M, 2] int32
+    flat_spacing: jax.Array,  # [M, 2] float32 (row, col) mm/px
+    centers_override: jax.Array | None = None,  # [M, L, 2] skips the forward
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Traced localization + fused crop over a flat batch of slices.
+
+    Returns (coords [M, L, 2], angles [M, L], crops [M, L, ch, cw] uint8).
+    """
+    m = flat.shape[0]
+    flat, _ = _normalize_slices_masked(flat.astype(jnp.float32), flat_hw)
+
+    if centers_override is not None:
+        coords = centers_override.astype(jnp.float32)
+    else:
+        assert loc_model is not None
+        lh, lw = cfg.loc_image_size
+        loc_in = jax.vmap(lambda im, e: resize_dynamic(im, e, lh, lw))(
+            flat, flat_hw
+        )
+        loc_rgb = imagenet_normalize(
+            jnp.repeat(loc_in[..., None] / 255.0, 3, axis=-1)
+        )
+        coords = loc_model.apply(
+            loc_vars, loc_rgb.astype(jnp.float32), train=False
+        ).astype(jnp.float32)
+
+    if cfg.crop_mode == "rotated":
+        angles = jax.vmap(
+            lambda c, e: rotation_angles_jax(c, e, cfg.last_disc_angle_boost)
+        )(coords, flat_hw)
+    else:
+        angles = jnp.zeros((m, cfg.num_levels), dtype=jnp.float32)
+
+    delta_mm = jnp.asarray(cfg.crop_delta_mm, dtype=jnp.float32)
+    deltas = jax.vmap(lambda sp: mm_to_pixels_jax(delta_mm, sp))(flat_spacing)
+
+    ch, cw = cfg.crop_size
+    crop_fn = functools.partial(
+        crop_ivd_regions_impl, crop_h=ch, crop_w=cw, window_cap=cfg.window_cap
+    )
+    crops = jax.vmap(lambda im, c, a, d, e: crop_fn(im, c, a, d, image_hw=e))(
+        flat, coords, angles, deltas, flat_hw
+    )
+    return coords, angles, crops
+
+
+class SeriesCropPipeline:
+    """Batched localization + fused IVD cropping for dataset building.
+
+    The reference's crop pipeline runs per image with host round trips
+    (cropping.py:444-483 + 258-354); this runs a whole batch of series
+    slices through one jit. With ``loc_variables=None`` the default
+    fallback centers are used (reference get_center_fallback_locations).
+    """
+
+    def __init__(
+        self,
+        loc_model: CoordinateRegressor | None,
+        loc_variables: Any,
+        config: StudyPipelineConfig | None = None,
+    ) -> None:
+        self.config = config or StudyPipelineConfig()
+        self.loc_model = loc_model
+        self.loc_variables = loc_variables
+
+        def run(loc_vars, flat, hw, spacing, centers):
+            override = centers if self.loc_model is None else None
+            return loc_and_crop(
+                self.loc_model, self.config, loc_vars, flat, hw, spacing,
+                centers_override=override,
+            )
+
+        self._run = jax.jit(run)
+
+    def run(
+        self,
+        slices: list[np.ndarray],
+        spacings: list[tuple[float, float]],
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Crop a batch of sagittal slices.
+
+        Args:
+            slices: list of [h, w] raw-intensity arrays.
+            spacings: matching (row, col) mm/px spacings.
+
+        Returns:
+            (coords [M, L, 2], angles [M, L], crops [M, L, ch, cw] uint8).
+        """
+        hp, wp = self.config.padded_hw
+        m = len(slices)
+        flat = np.zeros((m, hp, wp), dtype=np.float32)
+        hw = np.zeros((m, 2), dtype=np.int32)
+        for i, sl in enumerate(slices):
+            arr = np.asarray(sl, dtype=np.float32)
+            h, w = arr.shape
+            if h > hp or w > wp:
+                raise ValueError(
+                    f"slice {arr.shape} exceeds padded_hw {self.config.padded_hw}"
+                )
+            flat[i, :h, :w] = arr
+            hw[i] = (h, w)
+        spacing = np.asarray(spacings, dtype=np.float32)
+        centers = np.broadcast_to(
+            DEFAULT_IVD_CENTERS_XY[None], (m, self.config.num_levels, 2)
+        ).copy()
+        coords, angles, crops = self._run(
+            self.loc_variables,
+            jnp.asarray(flat),
+            jnp.asarray(hw),
+            jnp.asarray(spacing),
+            jnp.asarray(centers),
+        )
+        return (
+            np.asarray(jax.device_get(coords)),
+            np.asarray(jax.device_get(angles)),
+            np.asarray(jax.device_get(crops)),
+        )
+
+
 class StudyInferencePipeline:
     """Batched fused localization->crop->grading executor."""
 
@@ -127,56 +277,10 @@ class StudyInferencePipeline:
         flat_hw = hw.reshape(ns, 2)
         flat_spacing = spacing.reshape(ns, 2)
 
-        # Per-slice min-max -> [0, 255] over the true extent only
-        # (reference normalize_to_uint8, io/__init__.py:15-31).
-        rows = jnp.arange(hp)[None, :, None]
-        cols = jnp.arange(wp)[None, None, :]
-        valid = (rows < flat_hw[:, 0, None, None]) & (
-            cols < flat_hw[:, 1, None, None]
-        )
-        big = jnp.float32(3.4e38)
-        smin = jnp.min(jnp.where(valid, flat, big), axis=(1, 2), keepdims=True)
-        smax = jnp.max(jnp.where(valid, flat, -big), axis=(1, 2), keepdims=True)
-        inv = jnp.where(smax > smin, 1.0 / jnp.maximum(smax - smin, 1e-12), 0.0)
-        flat = jnp.where(valid, (flat - smin) * inv * 255.0, 0.0)
-
-        # Localization forward on dynamically-resized slices.
-        lh, lw = cfg.loc_image_size
-        loc_in = jax.vmap(lambda im, e: resize_dynamic(im, e, lh, lw))(
-            flat, flat_hw
-        )
-        loc_rgb = imagenet_normalize(
-            jnp.repeat(loc_in[..., None] / 255.0, 3, axis=-1)
-        )
-        coords = self.loc_model.apply(
-            loc_vars, loc_rgb.astype(jnp.float32), train=False
-        ).astype(jnp.float32)  # [NS, L, 2]
-
-        # Crop geometry (all traced).
-        if cfg.crop_mode == "rotated":
-            angles = jax.vmap(
-                lambda c, e: rotation_angles_jax(
-                    c, e, cfg.last_disc_angle_boost
-                )
-            )(coords, flat_hw)
-        else:
-            angles = jnp.zeros((ns, cfg.num_levels), dtype=jnp.float32)
-        delta_mm = jnp.asarray(cfg.crop_delta_mm, dtype=jnp.float32)
-        deltas = jax.vmap(lambda sp: mm_to_pixels_jax(delta_mm, sp))(
-            flat_spacing
-        )  # [NS, 4]
-
         ch, cw = cfg.crop_size
-        crop_fn = functools.partial(
-            crop_ivd_regions_impl,
-            crop_h=ch,
-            crop_w=cw,
-            window_cap=cfg.window_cap,
+        coords, angles, crops = loc_and_crop(
+            self.loc_model, cfg, loc_vars, flat, flat_hw, flat_spacing
         )
-        crops = jax.vmap(
-            lambda im, c, a, d, e: crop_fn(im, c, a, d, image_hw=e)
-        )(flat, coords, angles, deltas, flat_hw)  # [NS, L, ch, cw] uint8
-
         crops = crops.reshape(n, s, cfg.num_levels, ch, cw)
 
         # Channel assembly [T2, T1, T2] (reference construct_3channel,
