@@ -1,0 +1,220 @@
+"""OCR engine: batched TPU text detection + recognition for report parsing.
+
+Capability parity with reference datasets/phenikaa/ocr.py:24-323, replacing
+the PaddleOCR/VietOCR native stacks (SURVEY.md §2.2) with this framework's
+Flax nets. Structural improvements over the reference:
+
+- Recognition is genuinely batched: all detected boxes of a page rectify in
+  one fused device pass (ops.warp.rectify_polygons) and recognize as one
+  batch (the reference loops box-by-box, ocr.py:136-145).
+- Detector/recognizer satisfy tiny Protocols, so the Phenikaa preprocessing
+  pipeline is testable with fake engines (SURVEY.md §4).
+
+Weight loading: both nets read orbax checkpoints trained with this
+framework; without checkpoints they are randomly initialized (useful only
+for shape/pipeline tests — pretrained Paddle/VietOCR weights cannot be
+loaded, the architectures intentionally differ).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Protocol
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spine_vision_tpu.core import logger
+from spine_vision_tpu.models.textdet import (
+    TextDetectionNet,
+    extract_boxes_from_probmap,
+)
+from spine_vision_tpu.models.textrec import TextRecognitionNet, ctc_greedy_decode
+from spine_vision_tpu.ops.warp import rectify_polygons
+
+
+class Detector(Protocol):
+    """Text detector protocol: image -> [N, 4, 2] polygons."""
+
+    def detect(self, image: np.ndarray) -> np.ndarray: ...
+
+
+class Recognizer(Protocol):
+    """Text recognizer protocol: patches [N, h, w] -> N strings."""
+
+    def recognize_batch(self, patches: np.ndarray) -> list[str]: ...
+
+
+def _to_gray_f32(image: np.ndarray) -> np.ndarray:
+    arr = np.asarray(image)
+    if arr.ndim == 3:
+        arr = arr[..., :3].astype(np.float32).mean(axis=-1)
+    return arr.astype(np.float32)
+
+
+def _pad_to_multiple_2d(arr: np.ndarray, multiple: int) -> np.ndarray:
+    h, w = arr.shape
+    ph = (-h) % multiple
+    pw = (-w) % multiple
+    if ph or pw:
+        arr = np.pad(arr, ((0, ph), (0, pw)))
+    return arr
+
+
+class TextDetector:
+    """Flax DB-style detector wrapper (reference ocr.py:24-80)."""
+
+    def __init__(
+        self,
+        variables: Any | None = None,
+        input_multiple: int = 32,
+        threshold: float = 0.3,
+        seed: int = 0,
+    ) -> None:
+        self.model = TextDetectionNet()
+        self.input_multiple = input_multiple
+        self.threshold = threshold
+        self._variables = variables
+        self._seed = seed
+        self._forward = jax.jit(
+            lambda v, x: self.model.apply(v, x, train=False)
+        )
+
+    def _ensure_variables(self, example: jnp.ndarray) -> Any:
+        if self._variables is None:
+            logger.warning(
+                "TextDetector running with randomly initialized weights"
+            )
+            self._variables = self.model.init(
+                jax.random.PRNGKey(self._seed), example, train=False
+            )
+        return self._variables
+
+    def detect(self, image: np.ndarray) -> np.ndarray:
+        """Detect text regions; returns [N, 4, 2] quads (TL TR BR BL)."""
+        gray = _to_gray_f32(image) / 255.0
+        padded = _pad_to_multiple_2d(gray, self.input_multiple)
+        batch = jnp.asarray(padded)[None, :, :, None]
+        variables = self._ensure_variables(batch)
+        prob = np.asarray(self._forward(variables, batch))[0, :, :, 0]
+        return extract_boxes_from_probmap(
+            prob, threshold=self.threshold, scale=2.0
+        )
+
+
+class TextRecognizer:
+    """Flax CTC recognizer wrapper; batched (reference ocr.py:83-145)."""
+
+    def __init__(
+        self,
+        variables: Any | None = None,
+        patch_height: int = 32,
+        patch_width: int = 256,
+        seed: int = 0,
+    ) -> None:
+        self.model = TextRecognitionNet()
+        self.patch_height = patch_height
+        self.patch_width = patch_width
+        self._variables = variables
+        self._seed = seed
+        self._forward = jax.jit(
+            lambda v, x: self.model.apply(v, x, train=False)
+        )
+
+    def _ensure_variables(self, example: jnp.ndarray) -> Any:
+        if self._variables is None:
+            logger.warning(
+                "TextRecognizer running with randomly initialized weights"
+            )
+            self._variables = self.model.init(
+                jax.random.PRNGKey(self._seed), example, train=False
+            )
+        return self._variables
+
+    def recognize_batch(self, patches: np.ndarray) -> list[str]:
+        """Recognize a [N, h, w] batch of rectified text patches."""
+        patches = np.asarray(patches, dtype=np.float32)
+        if patches.ndim != 3 or patches.shape[0] == 0:
+            return []
+        batch = jnp.asarray(patches / 255.0)[..., None]
+        variables = self._ensure_variables(batch)
+        logits = np.asarray(self._forward(variables, batch))
+        return ctc_greedy_decode(logits)
+
+
+class DocumentExtractor:
+    """Detection -> rectification -> recognition composition
+    (reference ocr.py:189-323)."""
+
+    def __init__(
+        self,
+        detector: Detector | None = None,
+        recognizer: Recognizer | None = None,
+        patch_height: int = 32,
+        patch_width: int = 256,
+    ) -> None:
+        self.detector = detector or TextDetector()
+        self.recognizer = recognizer or TextRecognizer(
+            patch_height=patch_height, patch_width=patch_width
+        )
+        self.patch_height = patch_height
+        self.patch_width = patch_width
+
+    def _rectify(self, image: np.ndarray, quads: np.ndarray) -> np.ndarray:
+        """One fused device pass rectifies every detected box."""
+        if quads.shape[0] == 0:
+            return np.zeros(
+                (0, self.patch_height, self.patch_width), dtype=np.float32
+            )
+        gray = _to_gray_f32(image)
+        patches = rectify_polygons(
+            jnp.asarray(gray),
+            jnp.asarray(quads),
+            self.patch_height,
+            self.patch_width,
+        )
+        return np.asarray(jax.device_get(patches))
+
+    def extract_from_image(self, image: np.ndarray) -> list[str]:
+        """OCR an image into text lines (reading order)."""
+        quads = np.asarray(self.detector.detect(image))
+        patches = self._rectify(image, quads)
+        return self.recognizer.recognize_batch(patches)
+
+    def extract(self, path: Path) -> list[str]:
+        """OCR a report file (PDF first page, or an image file)."""
+        from PIL import Image
+
+        path = Path(path)
+        if path.suffix.lower() == ".pdf":
+            return self.extract_from_pdf(path)
+        return self.extract_from_image(np.asarray(Image.open(path)))
+
+    def extract_from_pdf(self, pdf_path: Path, dpi: int = 200) -> list[str]:
+        """OCR the first page of a PDF."""
+        from spine_vision_tpu.io.pdf import pdf_first_page_to_array
+
+        page = pdf_first_page_to_array(pdf_path, dpi=dpi)
+        if page is None:
+            return []
+        return self.extract_from_image(page)
+
+    def extract_from_pdf_crop(
+        self,
+        pdf_path: Path,
+        crop_region: tuple[int, int, int, int],
+        dpi: int = 200,
+    ) -> list[str]:
+        """OCR a fixed pixel region of a PDF's first page (fast path for
+        known field positions, reference ocr.py:283-323)."""
+        from spine_vision_tpu.io.pdf import pdf_first_page_to_array
+
+        page = pdf_first_page_to_array(pdf_path, dpi=dpi)
+        if page is None:
+            return []
+        x1, y1, x2, y2 = crop_region
+        region = page[y1:y2, x1:x2]
+        if region.size == 0:
+            return []
+        return self.extract_from_image(region)

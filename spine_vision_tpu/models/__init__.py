@@ -25,6 +25,13 @@ from spine_vision_tpu.models.heads import (
 )
 from spine_vision_tpu.models.resnet import RESNET_CONFIGS, ResNet
 from spine_vision_tpu.models.swin import SwinTransformer
+from spine_vision_tpu.models.textdet import TextDetectionNet, extract_boxes_from_probmap
+from spine_vision_tpu.models.textrec import (
+    VIETNAMESE_CHARSET,
+    TextRecognitionNet,
+    charset_size,
+    ctc_greedy_decode,
+)
 from spine_vision_tpu.models.vit import ViT
 
 __all__ = [
@@ -47,7 +54,13 @@ __all__ = [
     "ResNet",
     "ResidualHead",
     "SwinTransformer",
+    "TextDetectionNet",
+    "TextRecognitionNet",
+    "VIETNAMESE_CHARSET",
     "ViT",
+    "charset_size",
+    "ctc_greedy_decode",
+    "extract_boxes_from_probmap",
     "coords_to_pixels",
     "create_head",
     "get_activation",

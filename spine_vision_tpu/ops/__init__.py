@@ -19,6 +19,7 @@ from spine_vision_tpu.ops.image import (
     resize_with_padding,
 )
 from spine_vision_tpu.ops.resample import resample_to_isotropic, trilinear_resample
+from spine_vision_tpu.ops.warp import perspective_matrix, rectify_polygons
 
 __all__ = [
     "bilinear_resize",
@@ -32,6 +33,8 @@ __all__ = [
     "mm_to_pixels_jax",
     "normalize_minmax",
     "normalize_to_uint8",
+    "perspective_matrix",
+    "rectify_polygons",
     "resample_to_isotropic",
     "resize_dynamic",
     "resize_with_padding",

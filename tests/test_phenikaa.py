@@ -1,0 +1,247 @@
+"""Phenikaa preprocessing: matching goldens, OCR stack shapes, E2E with fakes."""
+
+import csv
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from spine_vision_tpu.data.phenikaa import (
+    PreprocessConfig,
+    build_report_processor_registry,
+    preprocess_phenikaa,
+)
+from spine_vision_tpu.data.phenikaa.matching import (
+    ascii_fold,
+    build_folder_lookup,
+    find_matching_folder,
+    fuzzy_match_score,
+    fuzzy_value_extract,
+    parse_image_folder_name,
+)
+from spine_vision_tpu.data.phenikaa.ocr import DocumentExtractor
+from spine_vision_tpu.models.textdet import (
+    TextDetectionNet,
+    extract_boxes_from_probmap,
+)
+from spine_vision_tpu.models.textrec import (
+    BLANK_ID,
+    TextRecognitionNet,
+    VIETNAMESE_CHARSET,
+    charset_size,
+    ctc_greedy_decode,
+)
+from spine_vision_tpu.ops.warp import rectify_polygons
+
+
+# ---------------------------------------------------------------------------
+# Matching
+# ---------------------------------------------------------------------------
+
+
+def test_ascii_fold_vietnamese():
+    assert ascii_fold("Nguyễn Văn Đức") == "Nguyen Van Duc"
+    assert ascii_fold("Hồ tên người bệnh") == "Ho ten nguoi benh"
+
+
+def test_fuzzy_match_score_diacritics():
+    assert fuzzy_match_score("Nguyễn Văn A", "NGUYEN VAN A") == 100.0
+
+
+def test_fuzzy_value_extract():
+    lines = [
+        "BENH VIEN PHENIKAA",
+        "Ho ten nguoi benh: Nguyen Van Binh",
+        "Ngay sinh: 02/03/1985",
+        "So phieu: 250012345",
+    ]
+    assert fuzzy_value_extract(lines, "Ho ten nguoi benh", 80, 3) == "NGUYENVANBINH"
+    assert fuzzy_value_extract(lines, "Ngay sinh", 80, 2) == "02/03/1985"
+    assert fuzzy_value_extract(lines, "So phieu", 80, 2) == "250012345"
+    assert fuzzy_value_extract(lines, "Khong ton tai", 80, 2) is None
+
+
+def test_parse_image_folder_name():
+    assert parse_image_folder_name("NGUYEN_VAN_A_1980_20240101") == (
+        "NGUYENVANA",
+        "1980",
+    )
+    assert parse_image_folder_name("TRAN_THI_B_20240202") == ("TRANTHIB", None)
+    assert parse_image_folder_name("LE_VAN_C_1975_20240303 (2)") == (
+        "LEVANC",
+        "1975",
+    )
+
+
+def test_find_matching_folder_birth_year_tiebreak(tmp_path):
+    for name in ("NGUYEN_VAN_A_1980_20240101", "NGUYEN_VAN_A_1990_20240102"):
+        (tmp_path / name).mkdir()
+    folder_map = build_folder_lookup(tmp_path)
+    assert len(folder_map) == 2
+    match = find_matching_folder("NGUYENVANA", "01/01/1990", folder_map)
+    assert match is not None and match.name == "NGUYEN_VAN_A_1990_20240102"
+
+
+# ---------------------------------------------------------------------------
+# OCR stack
+# ---------------------------------------------------------------------------
+
+
+def test_textdet_shapes():
+    model = TextDetectionNet(width=8, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 96, 1))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    prob = model.apply(variables, x, train=False)
+    assert prob.shape == (1, 32, 48, 1)
+    assert float(prob.min()) >= 0.0 and float(prob.max()) <= 1.0
+
+
+def test_extract_boxes_from_probmap():
+    prob = np.zeros((32, 48), dtype=np.float32)
+    prob[10:14, 5:25] = 0.9  # one text kernel
+    prob[20:23, 30:40] = 0.9  # another, lower on the page
+    quads = extract_boxes_from_probmap(prob, threshold=0.5, min_area=8, scale=2.0)
+    assert quads.shape == (2, 4, 2)
+    # Reading order: first quad is the upper one; scale doubles coordinates.
+    assert quads[0][0][1] < quads[1][0][1]
+    assert quads[0][2][0] > 2 * 24  # unclipped beyond the raw extent
+
+
+def test_rectify_polygons_identity():
+    rng = np.random.default_rng(0)
+    image = rng.uniform(0, 255, (40, 60)).astype(np.float32)
+    # Axis-aligned quad == plain crop (no resize: quad size == out size).
+    quad = np.array([[10.0, 5.0], [29.0, 5.0], [29.0, 24.0], [10.0, 24.0]])
+    out = np.asarray(
+        rectify_polygons(jnp.asarray(image), jnp.asarray(quad)[None], 20, 20)
+    )[0]
+    np.testing.assert_allclose(out, image[5:25, 10:30], rtol=1e-4, atol=1e-2)
+
+
+def test_ctc_greedy_decode():
+    t, c = 8, charset_size()
+    logits = np.full((1, t, c), -10.0, dtype=np.float32)
+    # "ab" with repeats and blanks: a a _ b b _ _ _
+    a = VIETNAMESE_CHARSET.index("a") + 1
+    b = VIETNAMESE_CHARSET.index("b") + 1
+    for step, token in enumerate([a, a, BLANK_ID, b, b, BLANK_ID, BLANK_ID, BLANK_ID]):
+        logits[0, step, token] = 10.0
+    assert ctc_greedy_decode(logits) == ["ab"]
+
+
+def test_textrec_shapes():
+    model = TextRecognitionNet(width=16, num_layers=1, dtype=jnp.float32)
+    x = jnp.zeros((2, 32, 64, 1))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    logits = model.apply(variables, x, train=False)
+    assert logits.shape == (2, 16, charset_size())
+
+
+# ---------------------------------------------------------------------------
+# End-to-end with fake OCR engine
+# ---------------------------------------------------------------------------
+
+
+class _FakeDetector:
+    def detect(self, image):
+        h, w = np.asarray(image).shape[:2]
+        return np.array(
+            [[[2.0, 2.0], [w - 2.0, 2.0], [w - 2.0, 12.0], [2.0, 12.0]]],
+            dtype=np.float32,
+        )
+
+
+class _FakeRecognizer:
+    def __init__(self, lines):
+        self.lines = lines
+
+    def recognize_batch(self, patches):
+        return self.lines[: len(patches)]
+
+
+class _FakeExtractor(DocumentExtractor):
+    """Real composition class, canned text output per report stem."""
+
+    def __init__(self, per_report: dict[str, list[str]]):
+        self.per_report = per_report
+
+    def extract(self, path: Path) -> list[str]:
+        return self.per_report.get(Path(path).stem, [])
+
+    def extract_from_pdf_crop(self, path, crop_region, dpi=200):
+        return []
+
+
+def test_preprocess_phenikaa_end_to_end(tmp_path):
+    data = tmp_path / "raw"
+    images = data / "images"
+    tables = data / "labels" / "tables"
+    reports = data / "labels" / "reports"
+    for d in (images, tables, reports):
+        d.mkdir(parents=True)
+
+    # Two study folders; report matches patient A by name+birth year.
+    (images / "NGUYEN_VAN_A_1980_20240101").mkdir()
+    (images / "NGUYEN_VAN_A_1980_20240101" / "dummy.txt").write_text("x")
+    (images / "TRAN_THI_B_1990_20240105").mkdir()
+
+    # Label table: patient 250012345 with 2 levels; Modic one-hot expansion.
+    with open(tables / "labels.csv", "w", newline="") as f:
+        writer = csv.DictWriter(
+            f, fieldnames=["Patient ID", "IVD label", "Pfirrman grade", "Modic"]
+        )
+        writer.writeheader()
+        writer.writerow(
+            {"Patient ID": 250012345, "IVD label": 1, "Pfirrman grade": 2, "Modic": 0}
+        )
+        writer.writerow(
+            {"Patient ID": 250012345, "IVD label": 2, "Pfirrman grade": 3, "Modic": 1}
+        )
+        writer.writerow(
+            {"Patient ID": 999999999, "IVD label": 1, "Pfirrman grade": 1, "Modic": 0}
+        )
+
+    # ID-named report (PNG).
+    Image.fromarray(np.zeros((32, 64), dtype=np.uint8)).save(
+        reports / "250012345.png"
+    )
+
+    extractor = _FakeExtractor(
+        {
+            "250012345": [
+                "Ho ten nguoi benh: Nguyen Van A",
+                "Ngay sinh: 15/05/1980",
+            ]
+        }
+    )
+    config = PreprocessConfig(
+        data_path=data, output_path=tmp_path / "interim"
+    )
+    result = preprocess_phenikaa(config, extractor=extractor)
+
+    assert result.num_samples == 1
+    copied = tmp_path / "interim" / "images" / "250012345"
+    assert (copied / "dummy.txt").exists()
+    out_table = tmp_path / "interim" / "radiological_labels.csv"
+    with open(out_table, newline="") as f:
+        rows = list(csv.DictReader(f))
+    # Only the matched patient's rows survive; Modic one-hot expanded.
+    assert len(rows) == 2
+    assert all(r["Patient ID"] == "250012345" for r in rows)
+    assert "Modic_0" in rows[0] and "Modic_1" in rows[0]
+
+
+def test_registry_dispatch(tmp_path):
+    registry = build_report_processor_registry()
+    id_named = tmp_path / "250012345.png"
+    patient_named = tmp_path / "NGUYEN_VAN_SON_20250718.pdf"
+    weird = tmp_path / "scan 01-02.tiff"
+    for p in (id_named, patient_named, weird):
+        p.touch()
+    procs = registry._processors
+    assert procs[0].can_process(id_named)
+    assert not procs[0].can_process(patient_named)
+    assert procs[1].can_process(patient_named)
+    assert not procs[1].can_process(weird)
