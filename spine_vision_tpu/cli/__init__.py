@@ -1,0 +1,162 @@
+"""spine-vision-tpu command line interface.
+
+Subcommand tree (reference cli/__init__.py:33-131, plus the evaluate/bench
+surface the reference documents but does not implement):
+
+    spine-vision-tpu dataset localization [options]
+    spine-vision-tpu dataset phenikaa [options]
+    spine-vision-tpu dataset classification [options]
+    spine-vision-tpu train localization [options]
+    spine-vision-tpu train classification [options]
+    spine-vision-tpu evaluate localization --checkpoint-path ...
+    spine-vision-tpu evaluate classification --checkpoint-path ...
+    spine-vision-tpu bench
+
+Configs are pydantic models rendered to argparse options (config_args).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from spine_vision_tpu.cli.config_args import add_config_args, config_from_args
+from spine_vision_tpu.core import logger, setup_logger
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    from spine_vision_tpu.data.builders import (
+        ClassificationDatasetConfig,
+        LocalizationDatasetConfig,
+    )
+    from spine_vision_tpu.data.phenikaa import PreprocessConfig
+    from spine_vision_tpu.train.classification import ClassificationConfig
+    from spine_vision_tpu.train.localization import LocalizationConfig
+
+    parser = argparse.ArgumentParser(
+        prog="spine-vision-tpu",
+        description="TPU-native lumbar-spine MRI pipeline",
+    )
+    commands = parser.add_subparsers(dest="command", required=True)
+
+    dataset = commands.add_parser("dataset", help="Dataset construction")
+    dataset_sub = dataset.add_subparsers(dest="subcommand", required=True)
+    add_config_args(
+        dataset_sub.add_parser("localization", help="Build localization dataset"),
+        LocalizationDatasetConfig,
+    )
+    add_config_args(
+        dataset_sub.add_parser("phenikaa", help="Phenikaa OCR preprocessing"),
+        PreprocessConfig,
+    )
+    add_config_args(
+        dataset_sub.add_parser(
+            "classification", help="Build classification crop dataset"
+        ),
+        ClassificationDatasetConfig,
+    )
+
+    train = commands.add_parser("train", help="Model training")
+    train_sub = train.add_subparsers(dest="subcommand", required=True)
+    add_config_args(
+        train_sub.add_parser("localization", help="Train coordinate regressor"),
+        LocalizationConfig,
+    )
+    add_config_args(
+        train_sub.add_parser("classification", help="Train multi-task grader"),
+        ClassificationConfig,
+    )
+
+    evaluate = commands.add_parser("evaluate", help="Checkpoint evaluation")
+    evaluate_sub = evaluate.add_subparsers(dest="subcommand", required=True)
+    add_config_args(
+        evaluate_sub.add_parser("localization", help="Evaluate localization"),
+        LocalizationConfig,
+    )
+    add_config_args(
+        evaluate_sub.add_parser("classification", help="Evaluate classification"),
+        ClassificationConfig,
+    )
+
+    commands.add_parser("bench", help="Run the benchmark harness")
+    return parser
+
+
+def cli(argv: list[str] | None = None) -> int:
+    """Console entry point."""
+    parser = _build_parser()
+    args = parser.parse_args(argv)
+
+    setup_logger(verbose=getattr(args, "verbose", False))
+
+    if args.command == "dataset":
+        if args.subcommand == "localization":
+            from spine_vision_tpu.data.builders import (
+                LocalizationDatasetConfig,
+                create_localization_dataset,
+            )
+
+            config = config_from_args(LocalizationDatasetConfig, args)
+            config.output_path.mkdir(parents=True, exist_ok=True)
+            result = create_localization_dataset(config)
+        elif args.subcommand == "phenikaa":
+            from spine_vision_tpu.data.phenikaa import (
+                PreprocessConfig,
+                preprocess_phenikaa,
+            )
+
+            result = preprocess_phenikaa(config_from_args(PreprocessConfig, args))
+        else:
+            from spine_vision_tpu.data.builders import (
+                ClassificationDatasetConfig,
+                create_classification_dataset,
+            )
+
+            config = config_from_args(ClassificationDatasetConfig, args)
+            config.output_path.mkdir(parents=True, exist_ok=True)
+            result = create_classification_dataset(config)
+        logger.info("%s", result.summary)
+        return 0
+
+    if args.command == "train":
+        from spine_vision_tpu.cli.train import (
+            train_classification,
+            train_localization,
+        )
+        from spine_vision_tpu.train.classification import ClassificationConfig
+        from spine_vision_tpu.train.localization import LocalizationConfig
+
+        if args.subcommand == "localization":
+            train_localization(config_from_args(LocalizationConfig, args))
+        else:
+            train_classification(config_from_args(ClassificationConfig, args))
+        return 0
+
+    if args.command == "evaluate":
+        from spine_vision_tpu.cli.train import (
+            evaluate_classification,
+            evaluate_localization,
+        )
+        from spine_vision_tpu.train.classification import ClassificationConfig
+        from spine_vision_tpu.train.localization import LocalizationConfig
+
+        if args.subcommand == "localization":
+            evaluate_localization(config_from_args(LocalizationConfig, args))
+        else:
+            evaluate_classification(config_from_args(ClassificationConfig, args))
+        return 0
+
+    if args.command == "bench":
+        import runpy
+        from pathlib import Path
+
+        bench = Path(__file__).resolve().parents[2] / "bench.py"
+        runpy.run_path(str(bench), run_name="__main__")
+        return 0
+
+    parser.error(f"Unknown command: {args.command}")
+    return 2
+
+
+def main() -> None:  # console_scripts target
+    sys.exit(cli())
