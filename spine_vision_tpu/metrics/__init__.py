@@ -15,6 +15,8 @@ from typing import Any
 
 import numpy as np
 
+from spine_vision_tpu.core.registry import register_metrics
+
 from spine_vision_tpu.core.tasks import AVAILABLE_TASK_NAMES, TaskConfig, get_task
 
 LEVEL_NAMES_DEFAULT = ["L1/L2", "L2/L3", "L3/L4", "L4/L5", "L5/S1"]
@@ -47,6 +49,7 @@ class BaseMetrics(ABC):
         """Reset accumulated state."""
 
 
+@register_metrics("localization")
 class LocalizationMetrics(BaseMetrics):
     """Metrics for coordinate localization.
 
@@ -150,6 +153,7 @@ class LocalizationMetrics(BaseMetrics):
         )
 
 
+@register_metrics("classification")
 class ClassificationMetrics(BaseMetrics):
     """Per-task classification metrics: accuracy, per-class P/R/F1,
     balanced accuracy, macro F1 (reference training/metrics.py:263-318)."""
@@ -221,6 +225,7 @@ class ClassificationMetrics(BaseMetrics):
         return metrics
 
 
+@register_metrics("classifier")
 class ClassifierMetrics:
     """Multi-task metrics aggregator for the Classifier model.
 

@@ -21,11 +21,13 @@ import jax.numpy as jnp
 from jax import Array
 
 from spine_vision_tpu.core.tasks import TaskConfig, create_loss_functions, get_strategy, get_tasks
+from spine_vision_tpu.core.registry import register_model
 from spine_vision_tpu.models.backbone import BackboneFactory
 from spine_vision_tpu.models.heads import HeadConfig, create_head
 from spine_vision_tpu.ops.losses import masked_coordinate_loss
 
 
+@register_model("classifier")
 class Classifier(nn.Module):
     """Generic classifier with configurable backbone and per-task heads.
 
@@ -120,6 +122,7 @@ def make_multitask_loss_breakdown_fn(
     return breakdown
 
 
+@register_model("coordinate_regressor")
 class CoordinateRegressor(nn.Module):
     """Coordinate regressor: backbone + sigmoid head -> [B, num_levels, 2].
 

@@ -17,6 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import Array
 
+from spine_vision_tpu.core.registry import register_model
+
 
 class _ConvBlock(nn.Module):
     features: int
@@ -37,6 +39,7 @@ class _ConvBlock(nn.Module):
         return nn.relu(x)
 
 
+@register_model("text_detection")
 class TextDetectionNet(nn.Module):
     """FCN text detector: [B, H, W, 1] -> probability map [B, H/2, W/2, 1].
 

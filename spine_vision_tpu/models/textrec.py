@@ -20,6 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import Array
 
+from spine_vision_tpu.core.registry import register_model
+
 # Vietnamese charset: digits, ASCII letters, accented vowels + đ, punctuation.
 _VIETNAMESE_EXTRA = (
     "àáảãạăằắẳẵặâầấẩẫậèéẻẽẹêềếểễệìíỉĩịòóỏõọôồốổỗộơờớởỡợ"
@@ -40,6 +42,7 @@ def charset_size() -> int:
     return len(VIETNAMESE_CHARSET) + 1
 
 
+@register_model("text_recognition")
 class TextRecognitionNet(nn.Module):
     """CRNN-style recognizer: [B, 32, W, 1] -> CTC logits [B, W/4, C].
 

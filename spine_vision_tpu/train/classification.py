@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from spine_vision_tpu.core import logger
+from spine_vision_tpu.core import logger, register_trainer
 from spine_vision_tpu.core.tasks import (
     AVAILABLE_TASK_NAMES,
     TaskConfig,
@@ -103,6 +103,7 @@ class ClassificationConfig(TrainingConfig):
     max_samples_per_cell: int = 4
 
 
+@register_trainer("classification", config_cls=ClassificationConfig)
 class ClassificationTrainer(BaseTrainer[ClassificationConfig]):
     """Trainer for multi-task lumbar-spine classification."""
 

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from spine_vision_tpu.core import logger
+from spine_vision_tpu.core import logger, register_trainer
 from spine_vision_tpu.data.datasets import LocalizationDataset, collate_localization
 from spine_vision_tpu.data.levels import IDX_TO_LEVEL, NUM_LEVELS
 from spine_vision_tpu.data.loader import DataLoader
@@ -50,6 +50,7 @@ class LocalizationConfig(TrainingConfig):
     num_visualization_samples: int = 16
 
 
+@register_trainer("localization", config_cls=LocalizationConfig)
 class LocalizationTrainer(BaseTrainer[LocalizationConfig]):
     """Trainer for IVD localization with coordinate regression."""
 
