@@ -25,6 +25,7 @@ from typing import Any, Literal, Sequence
 import cv2
 import numpy as np
 
+from spine_vision_tpu import native
 from spine_vision_tpu.core.tasks import AVAILABLE_TASK_NAMES, get_task
 from spine_vision_tpu.data.levels import (
     IDX_TO_LEVEL,
@@ -35,6 +36,14 @@ from spine_vision_tpu.data.levels import (
 from spine_vision_tpu.data.stratification import split_patients
 
 
+def _resize_rgb(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Resize HWC uint8 via the native host-ops library (channels as batch)."""
+    if img.shape[:2] == (h, w):
+        return img
+    planes = np.ascontiguousarray(img.transpose(2, 0, 1))
+    return native.resize_bilinear_u8(planes, h, w).transpose(1, 2, 0)
+
+
 def _load_image_rgb(path: Path, size: tuple[int, int]) -> np.ndarray:
     """Load an image file as uint8 RGB resized to (H, W)."""
     img = cv2.imread(str(path), cv2.IMREAD_COLOR)
@@ -42,7 +51,7 @@ def _load_image_rgb(path: Path, size: tuple[int, int]) -> np.ndarray:
         raise FileNotFoundError(f"Could not read image: {path}")
     img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
     h, w = size
-    return cv2.resize(img, (w, h), interpolation=cv2.INTER_LINEAR)
+    return _resize_rgb(img, h, w)
 
 
 def _load_image_gray(path: Path) -> np.ndarray:
@@ -387,7 +396,7 @@ class ClassificationDataset:
         )
         rgb = construct_3channel(t2_arr, t1_arr)
         h, w = self.output_size
-        rgb = cv2.resize(rgb, (w, h), interpolation=cv2.INTER_LINEAR)
+        rgb = _resize_rgb(rgb, h, w)
 
         all_targets: dict[str, Any] = {
             "pfirrmann": np.int32(record["pfirrmann"] - 1),
