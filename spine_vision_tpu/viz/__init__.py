@@ -10,6 +10,7 @@ from spine_vision_tpu.viz.base import (
 )
 from spine_vision_tpu.viz.classification import (
     plot_classification_metrics,
+    plot_classification_predictions,
     plot_confusion_examples,
     plot_confusion_matrix_with_samples,
     plot_confusion_summary,
@@ -49,6 +50,7 @@ __all__ = [
     "make_image_grid",
     "plot_binary_label_distributions",
     "plot_classification_metrics",
+    "plot_classification_predictions",
     "plot_confusion_examples",
     "plot_confusion_matrix_with_samples",
     "plot_confusion_summary",

@@ -44,6 +44,61 @@ def _confusion_matrix(
     return cm
 
 
+def plot_classification_predictions(
+    images: Sequence[np.ndarray],
+    predictions: dict[str, np.ndarray],
+    targets: dict[str, np.ndarray],
+    metadata: Sequence[dict[str, Any]] | None = None,
+    num_samples: int = 16,
+) -> "plt.Figure":
+    """Sample grid with per-task predicted (true) annotations; border green
+    when every task is correct (reference classification.py:26-114)."""
+    n = min(len(images), num_samples)
+    cols = min(4, max(n, 1))
+    rows = max((n + cols - 1) // cols, 1)
+    fig, axes = plt.subplots(rows, cols, figsize=(3.5 * cols, 3.5 * rows))
+    axes = np.atleast_1d(axes).ravel()
+    labels = list(predictions.keys())
+
+    for i in range(n):
+        ax = axes[i]
+        ax.imshow(to_display_image(np.asarray(images[i])), cmap="gray")
+        annotations = []
+        all_correct = True
+        for label in labels:
+            pred = extract_prediction_value(predictions[label][i])
+            true = extract_prediction_value(targets[label][i])
+            correct = pred == true
+            all_correct = all_correct and correct
+            status = "✓" if correct else "✗"
+            annotations.append(
+                f"{get_task_display_name(label)}: {pred} ({true}) {status}"
+            )
+        border = CONFUSION_COLORS["TP"] if all_correct else CONFUSION_COLORS["FP"]
+        for spine in ax.spines.values():
+            spine.set_edgecolor(border)
+            spine.set_linewidth(3)
+        subtitle = " | ".join(annotations[:3])
+        if len(annotations) > 3:
+            subtitle += f" +{len(annotations) - 3}"
+        title = (
+            str(metadata[i].get("level", f"Sample {i + 1}"))
+            if metadata and i < len(metadata)
+            else f"Sample {i + 1}"
+        )
+        ax.set_title(f"{title}\n{subtitle}", fontsize=8)
+        ax.set_xticks([])
+        ax.set_yticks([])
+    for j in range(n, len(axes)):
+        axes[j].axis("off")
+    fig.suptitle(
+        "Classification Predictions (green=all correct, red=any wrong)",
+        fontweight="bold",
+    )
+    fig.tight_layout()
+    return fig
+
+
 def plot_classification_metrics(
     metrics: dict[str, float],
     target_labels: list[str],

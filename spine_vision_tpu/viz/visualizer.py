@@ -96,6 +96,22 @@ class TrainingVisualizer(BaseVisualizer):
             C.plot_classification_metrics(metrics, target_labels), filename
         )
 
+    def plot_classification_predictions(
+        self,
+        images,
+        predictions,
+        targets,
+        metadata=None,
+        num_samples: int = 16,
+        filename: str = "classification_predictions",
+    ) -> Path:
+        return self._save(
+            C.plot_classification_predictions(
+                images, predictions, targets, metadata, num_samples
+            ),
+            filename,
+        )
+
     def plot_confusion_matrices_with_samples(
         self,
         images: Sequence[np.ndarray],
