@@ -11,6 +11,10 @@ from spine_vision_tpu.models.classifier import (
 )
 from spine_vision_tpu.models.convnext import CONVNEXT_CONFIGS, ConvNeXt
 from spine_vision_tpu.models.efficientnet import EfficientNet, MobileNetV3
+from spine_vision_tpu.models.inference import (
+    classifier_test_inference,
+    regressor_test_inference,
+)
 from spine_vision_tpu.models.heads import (
     AttentionHead,
     ConvHead,
@@ -59,7 +63,9 @@ __all__ = [
     "VIETNAMESE_CHARSET",
     "ViT",
     "charset_size",
+    "classifier_test_inference",
     "ctc_greedy_decode",
+    "regressor_test_inference",
     "extract_boxes_from_probmap",
     "coords_to_pixels",
     "create_head",
