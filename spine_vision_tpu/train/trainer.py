@@ -45,6 +45,7 @@ from spine_vision_tpu.train import schedules
 from spine_vision_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 from spine_vision_tpu.train.state import TrainState
 from spine_vision_tpu.train.steps import make_eval_step, make_train_step
+from spine_vision_tpu.utils.profiling import StepTimer, trace_profile
 
 
 def generate_run_id() -> str:
@@ -96,6 +97,11 @@ class TrainingConfig(BaseConfig):
 
     log_frequency: int = 10
     save_frequency: int = 10
+
+    profile_steps: bool = False
+    """Record per-step wall time, log p50/p95 each epoch (utils.profiling)."""
+    profile_trace: bool = False
+    """Capture an XLA profiler trace of the first training epoch."""
 
     # Experiment tracking (JSONL tracker; reference uses trackio)
     use_tracker: bool = False
@@ -248,6 +254,9 @@ class BaseTrainer(Generic[TConfig]):
             preprocess=self._preprocess_fn(),
         )
         self._frozen = self.frozen_backbone_at_start()
+
+        # Profiling (SURVEY.md §5: tracing is first-class in the rebuild).
+        self.step_timer = StepTimer()
 
         # Loop state.
         self.current_epoch = 0
@@ -431,7 +440,12 @@ class BaseTrainer(Generic[TConfig]):
             self.on_epoch_begin(epoch)
 
             epoch_start = time.perf_counter()
-            train_loss = self._train_epoch()
+            if self.config.profile_trace and epoch == self.current_epoch == 0:
+                assert self.config.output_path is not None
+                with trace_profile(self.config.logs_path / "profile"):
+                    train_loss = self._train_epoch()
+            else:
+                train_loss = self._train_epoch()
             epoch_time = time.perf_counter() - epoch_start
             lr = schedules.current_lr(self.state.opt_state)
             self.history["train_loss"].append(train_loss)
@@ -508,8 +522,11 @@ class BaseTrainer(Generic[TConfig]):
         total = 0.0
         count = 0
         loss = None
+        timer = self.step_timer if self.config.profile_steps else None
         for batch_idx, batch in enumerate(self.train_loader):
             device_batch = self._shard(batch)
+            if timer is not None:
+                timer.start()
             self.state, loss = step_fn(self.state, device_batch)
             # Async dispatch: only sync for logging.
             if (batch_idx + 1) % self.config.log_frequency == 0:
@@ -526,6 +543,16 @@ class BaseTrainer(Generic[TConfig]):
             else:
                 total += float(jax.device_get(loss))
                 count += 1
+            if timer is not None:
+                timer.stop()
+        if timer is not None and len(timer) > 1:
+            summary = timer.summary()
+            logger.info(
+                "Step timing: p50 %.1f ms, p95 %.1f ms over %d steps",
+                summary["p50_s"] * 1000,
+                summary["p95_s"] * 1000,
+                int(summary["steps"]),
+            )
         return total / max(count, 1)
 
     def _validate_epoch(self) -> tuple[float, dict[str, float]]:
