@@ -1,0 +1,30 @@
+"""Pallas depthwise conv: interpreter-mode parity with lax grouped conv."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spine_vision_tpu.ops.dwconv import (
+    depthwise_conv7x7,
+    depthwise_conv7x7_reference,
+)
+
+
+@pytest.mark.parametrize("shape,tile_h", [((2, 16, 12, 128), 8), ((1, 8, 8, 128), 8)])
+def test_pallas_matches_lax(shape, tile_h):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(7, 7, shape[-1])), jnp.float32)
+    got = depthwise_conv7x7(x, k, tile_h=tile_h, interpret=True)
+    want = depthwise_conv7x7_reference(x, k)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_non_tile_multiple_height():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 11, 12, 128)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(7, 7, 128)), jnp.float32)
+    got = depthwise_conv7x7(x, k, tile_h=8, interpret=True)
+    want = depthwise_conv7x7_reference(x, k)
+    assert got.shape == x.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
