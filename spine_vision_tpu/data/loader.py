@@ -80,6 +80,8 @@ class DataLoader:
         collate_fn: Callable[[Sequence[dict[str, Any]]], dict[str, Any]] | None = None,
         num_workers: int = 8,
         prefetch: int = 2,
+        process_index: int | None = None,
+        process_count: int | None = None,
     ) -> None:
         """
         Args:
@@ -94,7 +96,15 @@ class DataLoader:
             collate_fn: Batch assembly (default stacks arrays).
             num_workers: Threads for concurrent sample loading.
             prefetch: Batches to stage ahead.
+            process_index/process_count: Multi-host sharding: every process
+                draws the SAME seeded global index stream (so weighted
+                sampling keeps its global class-balance property,
+                SURVEY.md §7 "hard parts") and takes its contiguous
+                batch_size/process_count slice of each global batch.
+                Defaults to jax.process_index()/process_count().
         """
+        import jax
+
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -105,6 +115,17 @@ class DataLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch = max(1, prefetch)
         self.epoch = 0
+        self.process_index = (
+            jax.process_index() if process_index is None else process_index
+        )
+        self.process_count = (
+            jax.process_count() if process_count is None else process_count
+        )
+        if self.batch_size % self.process_count != 0:
+            raise ValueError(
+                f"batch_size={batch_size} not divisible by "
+                f"process_count={self.process_count}"
+            )
 
     def set_epoch(self, epoch: int) -> None:
         """Set the epoch for deterministic reshuffling."""
@@ -136,6 +157,20 @@ class DataLoader:
             indices[i * self.batch_size : (i + 1) * self.batch_size]
             for i in range(n_batches)
         ]
+        if self.process_count > 1:
+            # Contiguous per-host slice of every global batch (the trailing
+            # partial batch splits by even shares, remainder to low ranks).
+            def host_slice(batch: np.ndarray) -> np.ndarray:
+                share = len(batch) // self.process_count
+                extra = len(batch) % self.process_count
+                start = self.process_index * share + min(
+                    self.process_index, extra
+                )
+                stop = start + share + (1 if self.process_index < extra else 0)
+                return batch[start:stop]
+
+            batch_indices = [host_slice(b) for b in batch_indices]
+            batch_indices = [b for b in batch_indices if len(b) > 0]
 
         out_queue: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
