@@ -80,6 +80,34 @@ class GRN(nn.Module):
         return out.astype(x.dtype)
 
 
+class _DepthwiseConv7x7(nn.Module):
+    """Depthwise 7x7 with the same param tree as nn.Conv (kernel + bias),
+    dispatching to the Pallas stencil kernel (ops.dwconv) instead of XLA's
+    grouped conv. Checkpoints are interchangeable with the nn.Conv variant."""
+
+    dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        from spine_vision_tpu.ops.dwconv import depthwise_conv7x7
+
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (7, 7, 1, self.dim),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        import jax
+
+        y = depthwise_conv7x7(
+            x.astype(self.dtype),
+            kernel.reshape(7, 7, self.dim).astype(self.dtype),
+            interpret=jax.default_backend() == "cpu",
+        )
+        return y + bias.astype(self.dtype)
+
+
 class ConvNeXtBlock(nn.Module):
     """Depthwise 7x7 -> LN -> pwconv(4x) -> GELU -> [GRN] -> pwconv + residual."""
 
@@ -87,14 +115,18 @@ class ConvNeXtBlock(nn.Module):
     use_grn: bool
     layer_scale_init: float
     dtype: Any = jnp.float32
+    use_pallas_dwconv: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         residual = x
-        y = nn.Conv(
-            self.dim, (7, 7), padding=[(3, 3), (3, 3)],
-            feature_group_count=self.dim, dtype=self.dtype, name="dwconv",
-        )(x)
+        if self.use_pallas_dwconv:
+            y = _DepthwiseConv7x7(self.dim, dtype=self.dtype, name="dwconv")(x)
+        else:
+            y = nn.Conv(
+                self.dim, (7, 7), padding=[(3, 3), (3, 3)],
+                feature_group_count=self.dim, dtype=self.dtype, name="dwconv",
+            )(x)
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(y)
         y = y.astype(self.dtype)
         y = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(y)
@@ -121,6 +153,7 @@ class ConvNeXt(nn.Module):
 
     config: ConvNeXtConfig
     dtype: Any = jnp.float32
+    use_pallas_dwconv: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -151,6 +184,7 @@ class ConvNeXt(nn.Module):
                     use_grn=cfg.use_grn,
                     layer_scale_init=cfg.layer_scale_init,
                     dtype=self.dtype,
+                    use_pallas_dwconv=self.use_pallas_dwconv,
                     name=f"stage{stage_idx + 1}_block{block_idx + 1}",
                 )(x)
 

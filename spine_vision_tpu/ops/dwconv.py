@@ -26,24 +26,52 @@ KERNEL_SIZE = 7
 PAD = KERNEL_SIZE // 2
 
 
-def _dw_kernel(x_hbm, k_ref, out_ref, tile, sem):
-    """One (batch, h-tile) step: out[1, th, W, C]."""
-    _, th, w, _ = out_ref.shape
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    dma = pltpu.make_async_copy(
-        x_hbm.at[i, pl.ds(j * th, th + 2 * PAD), :, :], tile, sem
-    )
-    dma.start()
-    dma.wait()
-    acc = jnp.zeros(out_ref.shape[1:], jnp.float32)
-    for dy in range(KERNEL_SIZE):
-        for dx in range(KERNEL_SIZE):
-            window = tile[dy : dy + th, dx : dx + w, :].astype(jnp.float32)
-            acc = acc + window * k_ref[dy * KERNEL_SIZE + dx, :].astype(
-                jnp.float32
+def _make_dw_kernel(num_tiles: int):
+    """Double-buffered kernel over a flattened (batch * h-tile) grid."""
+
+    def kernel(x_hbm, k_ref, out_ref, tiles, sems):
+        _, th, w, _ = out_ref.shape
+        g = pl.program_id(0)
+        total = pl.num_programs(0)
+
+        def start_dma(step, slot):
+            i = step // num_tiles
+            j = step % num_tiles
+            return pltpu.make_async_copy(
+                x_hbm.at[i, pl.ds(j * th, th + 2 * PAD), :, :],
+                tiles.at[slot],
+                sems.at[slot],
             )
-    out_ref[0] = acc.astype(out_ref.dtype)
+
+        # Warm up the pipeline on the first step; then each step prefetches
+        # its successor before computing (guide: double-buffering pattern).
+        @pl.when(g == 0)
+        def _():
+            start_dma(0, 0).start()
+
+        @pl.when(g + 1 < total)
+        def _():
+            start_dma(g + 1, (g + 1) % 2).start()
+
+        start_dma(g, g % 2).wait()
+        tile = tiles[g % 2]
+
+        # Loop order matters: H shifts move whole rows (free), W shifts
+        # relayout sublanes (expensive). Accumulating over dy first leaves
+        # only KERNEL_SIZE sublane-shifted adds instead of KERNEL_SIZE^2.
+        acc = jnp.zeros(out_ref.shape[1:], jnp.float32)
+        for dx in range(KERNEL_SIZE):
+            col = tile[0:th, :, :].astype(jnp.float32) * k_ref[
+                dx, :
+            ].astype(jnp.float32)
+            for dy in range(1, KERNEL_SIZE):
+                col = col + tile[dy : dy + th, :, :].astype(
+                    jnp.float32
+                ) * k_ref[dy * KERNEL_SIZE + dx, :].astype(jnp.float32)
+            acc = acc + col[:, dx : dx + w, :]
+        out_ref[0] = acc.astype(out_ref.dtype)
+
+    return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("tile_h", "interpret"))
@@ -66,11 +94,15 @@ def depthwise_conv7x7(
         [B, H, W, C] output, same dtype as ``x``.
     """
     b, h, w, c = x.shape
-    th = min(tile_h, h)
-    num_tiles = (h + th - 1) // th
-    padded_h = num_tiles * th
     # DMA slices along the sublane (W) dim must be 8-aligned (Mosaic tiling).
     padded_w = ((w + 2 * PAD + 7) // 8) * 8
+    # Shrink the H tile until the kernel's f32 working set (tile + column
+    # accumulator + output accumulator) fits comfortably in VMEM.
+    th = min(tile_h, h)
+    while th > 8 and (th + 2 * PAD) * padded_w * c * 4 > 2 * 1024 * 1024:
+        th //= 2
+    num_tiles = (h + th - 1) // th
+    padded_h = num_tiles * th
 
     # SAME halo (+ H rounded to a tile multiple) materialized in HBM.
     xp = jnp.pad(
@@ -85,25 +117,25 @@ def depthwise_conv7x7(
     k2 = kernel.reshape(KERNEL_SIZE * KERNEL_SIZE, c)
 
     out = pl.pallas_call(
-        _dw_kernel,
-        grid=(b, num_tiles),
+        _make_dw_kernel(num_tiles),
+        grid=(b * num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # stays in HBM, DMA'd
             pl.BlockSpec(
                 (KERNEL_SIZE * KERNEL_SIZE, c),
-                lambda i, j: (0, 0),
+                lambda g: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
             (1, th, w, c),
-            lambda i, j: (i, j, 0, 0),
+            lambda g: (g // num_tiles, g % num_tiles, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, padded_h, w, c), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((th + 2 * PAD, padded_w, c), x.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, th + 2 * PAD, padded_w, c), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(xp, k2)

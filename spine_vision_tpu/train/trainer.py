@@ -29,6 +29,7 @@ from pathlib import Path
 from typing import Any, Callable, Generic, Literal, TypeVar
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import yaml
 from pydantic import model_validator
@@ -97,6 +98,10 @@ class TrainingConfig(BaseConfig):
 
     log_frequency: int = 10
     save_frequency: int = 10
+
+    pretrained_path: Path | None = None
+    """Torch .pth state-dict file for the backbone (offline converted via
+    models.convert; replaces the reference's at-construction timm download)."""
 
     profile_steps: bool = False
     """Record per-step wall time, log p50/p95 each epoch (utils.profiling)."""
@@ -245,6 +250,9 @@ class BaseTrainer(Generic[TConfig]):
         self.state = self._init_state()
         self._has_batch_stats = bool(self.state.batch_stats)
 
+        if config.pretrained_path is not None:
+            self._load_pretrained_backbone(config.pretrained_path)
+
         # Jitted steps (separate compilations per freeze flag).
         self._train_steps: dict[bool, Callable] = {}
         self._eval_step = make_eval_step(
@@ -388,6 +396,39 @@ class BaseTrainer(Generic[TConfig]):
         return int(
             sum(np.prod(x.shape) for x in jax.tree_util.tree_leaves(self.state.params))
         )
+
+    def _load_pretrained_backbone(self, path: Path) -> None:
+        """Replace the backbone subtree with offline-converted torch weights
+        (models.convert). Shapes are validated leaf-by-leaf."""
+        from spine_vision_tpu.models.convert import load_torch_backbone
+
+        arch = getattr(self.config, "backbone", "")
+        params, stats = load_torch_backbone(Path(path), arch)
+        current = dict(self.state.params)
+        if "backbone" not in current:
+            raise ValueError("Model has no 'backbone' param subtree")
+        expected = jax.tree_util.tree_map(lambda x: x.shape, current["backbone"])
+        got = jax.tree_util.tree_map(lambda x: x.shape, params)
+        if expected != got:
+            raise ValueError(
+                f"Pretrained weights for '{arch}' do not match the model's "
+                "backbone structure"
+            )
+        current["backbone"] = jax.tree_util.tree_map(
+            lambda c, n: jnp.asarray(n, dtype=c.dtype),
+            current["backbone"],
+            params,
+        )
+        new_stats = self.state.batch_stats
+        if stats and self._has_batch_stats:
+            new_stats = dict(self.state.batch_stats)
+            new_stats["backbone"] = jax.tree_util.tree_map(
+                lambda c, n: jnp.asarray(n, dtype=c.dtype),
+                new_stats["backbone"],
+                stats,
+            )
+        self.state = self.state.replace(params=current, batch_stats=new_stats)
+        logger.info("Loaded pretrained backbone weights: %s", path)
 
     def _shard(self, batch: dict[str, Any]) -> dict[str, Any]:
         """Move array fields of a host batch onto the mesh (metadata stays)."""
