@@ -65,11 +65,12 @@ class StudyPipelineConfig:
     loc_image_size: tuple[int, int] = (512, 512)
     crop_size: tuple[int, int] = (256, 256)
     crop_delta_mm: tuple[float, float, float, float] = (55.0, 15.0, 17.5, 20.0)
-    crop_mode: str = "rotated"  # "rotated" | "horizontal"
+    crop_mode: str = "horizontal"  # "horizontal" | "rotated" (reference
+    # ClassificationDatasetConfig default is horizontal, config.py:44; the
+    # horizontal path is also fully gather-free on TPU)
     last_disc_angle_boost: float = 1.0
     num_levels: int = 5
     padded_hw: tuple[int, int] = (1024, 1024)
-    window_cap: int = 640
 
 
 @dataclass
@@ -158,7 +159,10 @@ def loc_and_crop(
 
     ch, cw = cfg.crop_size
     crop_fn = functools.partial(
-        crop_ivd_regions_impl, crop_h=ch, crop_w=cw, window_cap=cfg.window_cap
+        crop_ivd_regions_impl,
+        crop_h=ch,
+        crop_w=cw,
+        separable=cfg.crop_mode != "rotated",
     )
     crops = jax.vmap(lambda im, c, a, d, e: crop_fn(im, c, a, d, image_hw=e))(
         flat, coords, angles, deltas, flat_hw

@@ -83,7 +83,13 @@ class GRN(nn.Module):
 class _DepthwiseConv7x7(nn.Module):
     """Depthwise 7x7 with the same param tree as nn.Conv (kernel + bias),
     dispatching to the Pallas stencil kernel (ops.dwconv) instead of XLA's
-    grouped conv. Checkpoints are interchangeable with the nn.Conv variant."""
+    grouped conv. Checkpoints are interchangeable with the nn.Conv variant.
+
+    Measured on one v5e chip (convnext_base @ 512^2, batch 32): the Pallas
+    path reaches 220 img/s vs 285 img/s for XLA's grouped conv — the custom
+    call blocks producer/consumer fusion with the surrounding LN/residual,
+    outweighing the kernel's per-op parity. Off by default until the kernel
+    fuses bias+LN itself."""
 
     dim: int
     dtype: Any = jnp.float32

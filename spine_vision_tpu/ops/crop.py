@@ -13,13 +13,14 @@ composed inverse transform
     around the disc center -> bilinear sample of the source image,
 
 so no rotated intermediate is ever materialized. The crop's min/max (needed
-for normalization parity) is computed in a second masked sampling pass over a
-statically-bounded window grid. Both passes are vmapped over levels and fused
-by XLA; the whole thing runs inside one jit.
+for normalization parity) comes from a gather-free masked reduce over source
+pixels whose forward-rotated position lands inside the crop rect (exact in
+horizontal mode; see pass-A comment). Both passes are vmapped over levels and
+fused by XLA; the whole thing runs inside one jit.
 
 Dynamic quantities (disc centers, crop extents from per-study mm spacing,
-clipping at image borders) are traced scalars; only the output size and the
-window cap are static, keeping one compiled program per image shape.
+clipping at image borders) are traced scalars; only the output size is
+static, keeping one compiled program per image shape.
 """
 
 from __future__ import annotations
@@ -74,6 +75,19 @@ def _bilinear(image: Array, ys: Array, xs: Array, h: Array, w: Array) -> Array:
     return top * (1.0 - wy) + bot * wy
 
 
+def _forward_rotation_coords(
+    xs: Array, ys: Array, cx: Array, cy: Array, angle_deg: Array
+) -> tuple[Array, Array]:
+    """Map source coords to rotated-image coords (inverse of
+    :func:`_inverse_rotation_coords`)."""
+    theta = jnp.deg2rad(angle_deg)
+    a = jnp.cos(theta)
+    b = jnp.sin(theta)
+    u = xs - ((1.0 - a) * cx + b * cy)
+    v = ys - (-b * cx + (1.0 - a) * cy)
+    return a * u + b * v, -b * u + a * v
+
+
 def _crop_one_level(
     image: Array,
     h: Array,
@@ -83,7 +97,7 @@ def _crop_one_level(
     delta_px: Array,
     crop_h: int,
     crop_w: int,
-    window_cap: int,
+    separable: bool = False,
 ) -> Array:
     """Produce one letterboxed uint8 crop for a single level (see module doc)."""
     image = image.astype(jnp.float32)
@@ -101,17 +115,28 @@ def _crop_one_level(
     ch = jnp.maximum(y2 - y1, 1.0)
     cw = jnp.maximum(x2 - x1, 1.0)
 
-    # ---- Pass A: crop min/max at native resolution over a capped window ----
-    wy = jnp.arange(window_cap, dtype=jnp.float32)[:, None]
-    wx = jnp.arange(window_cap, dtype=jnp.float32)[None, :]
-    win_valid = (wy < ch) & (wx < cw)
-    yr = y1 + jnp.broadcast_to(wy, (window_cap, window_cap))
-    xr = x1 + jnp.broadcast_to(wx, (window_cap, window_cap))
-    xs, ys = _inverse_rotation_coords(xr, yr, cx, cy, angle_deg)
-    win_vals = _bilinear(image, ys, xs, h, w)
+    # ---- Pass A: crop min/max via a masked reduce over source pixels ----
+    # Gather-free (TPU gathers serialize): a source pixel contributes when
+    # its forward-rotated position lands in the crop rect. For horizontal
+    # mode this is EXACTLY the reference's min/max (the crop samples are
+    # integer source pixels); for rotated mode extremes of the bilinear
+    # samples are bounded by these source extremes, so the normalization
+    # differs by at most the local interpolation error.
+    hp, wp = image.shape
+    gy = jnp.arange(hp, dtype=jnp.float32)[:, None]
+    gx = jnp.arange(wp, dtype=jnp.float32)[None, :]
+    xr_f, yr_f = _forward_rotation_coords(gx, gy, cx, cy, angle_deg)
+    inside = (
+        (xr_f >= x1)
+        & (xr_f <= x2 - 1.0)
+        & (yr_f >= y1)
+        & (yr_f <= y2 - 1.0)
+        & (gy < hf)
+        & (gx < wf)
+    )
     big = jnp.float32(3.4e38)
-    crop_min = jnp.min(jnp.where(win_valid, win_vals, big))
-    crop_max = jnp.max(jnp.where(win_valid, win_vals, -big))
+    crop_min = jnp.min(jnp.where(inside, image, big))
+    crop_max = jnp.max(jnp.where(inside, image, -big))
     inv_range = jnp.where(
         crop_max - crop_min > 0, 1.0 / jnp.maximum(crop_max - crop_min, 1e-12), 0.0
     )
@@ -136,10 +161,23 @@ def _crop_one_level(
     xcr = (ox - x_off + 0.5) * (cw / jnp.maximum(new_w, 1.0)) - 0.5
     ycr = jnp.clip(ycr, 0.0, ch - 1.0)
     xcr = jnp.clip(xcr, 0.0, cw - 1.0)
-    yr_o = y1 + jnp.broadcast_to(ycr, (crop_h, crop_w))
-    xr_o = x1 + jnp.broadcast_to(xcr, (crop_h, crop_w))
-    xs_o, ys_o = _inverse_rotation_coords(xr_o, yr_o, cx, cy, angle_deg)
-    vals = _bilinear(image, ys_o, xs_o, h, w)
+    if separable:
+        # Horizontal mode: row/col sampling coordinates are independent, so
+        # the bilinear resample is two hat-matrix matmuls on the MXU instead
+        # of XLA gathers (which serialize on TPU; see ops.image.resize_dynamic).
+        hp, wp = image.shape
+        ys_o = jnp.clip(y1 + ycr[:, 0], 0.0, hf - 1.0)  # [crop_h]
+        xs_o = jnp.clip(x1 + xcr[0, :], 0.0, wf - 1.0)  # [crop_w]
+        rows = jnp.arange(hp, dtype=jnp.float32)
+        cols = jnp.arange(wp, dtype=jnp.float32)
+        r_mat = jnp.maximum(0.0, 1.0 - jnp.abs(ys_o[:, None] - rows[None, :]))
+        c_mat = jnp.maximum(0.0, 1.0 - jnp.abs(xs_o[:, None] - cols[None, :]))
+        vals = r_mat @ image @ c_mat.T
+    else:
+        yr_o = y1 + jnp.broadcast_to(ycr, (crop_h, crop_w))
+        xr_o = x1 + jnp.broadcast_to(xcr, (crop_h, crop_w))
+        xs_o, ys_o = _inverse_rotation_coords(xr_o, yr_o, cx, cy, angle_deg)
+        vals = _bilinear(image, ys_o, xs_o, h, w)
 
     norm = (vals - crop_min) * inv_range * 255.0
     out = jnp.where(out_valid, norm, 0.0)
@@ -154,7 +192,7 @@ def crop_ivd_regions_impl(
     crop_h: int = 256,
     crop_w: int = 256,
     image_hw: Array | None = None,
-    window_cap: int = 512,
+    separable: bool = False,
 ) -> Array:
     """Crop all IVD levels from one image in a single fused device pass.
 
@@ -170,8 +208,8 @@ def crop_ivd_regions_impl(
             (traced; computed from per-study mm spacing).
         crop_h, crop_w: Static output crop size.
         image_hw: Optional [2] actual (h, w) when ``image`` is padded.
-        window_cap: Static upper bound on the native-resolution crop window
-            used for the min/max pass.
+        separable: Static fast path for horizontal mode (angles all zero):
+            the letterbox resample runs as MXU matmuls instead of gathers.
 
     Returns:
         [L, crop_h, crop_w] uint8 letterboxed crops.
@@ -191,7 +229,7 @@ def crop_ivd_regions_impl(
         w,
         crop_h=crop_h,
         crop_w=crop_w,
-        window_cap=window_cap,
+        separable=separable,
     )
     return jax.vmap(lambda c, a: fn(c, a, delta))(
         centers_xy.astype(jnp.float32), angles_deg.astype(jnp.float32)
@@ -199,7 +237,7 @@ def crop_ivd_regions_impl(
 
 
 crop_ivd_regions = functools.partial(
-    jax.jit, static_argnames=("crop_h", "crop_w", "window_cap")
+    jax.jit, static_argnames=("crop_h", "crop_w", "separable")
 )(crop_ivd_regions_impl)
 """Jitted entry point for :func:`crop_ivd_regions_impl` (one image).
 

@@ -112,6 +112,12 @@ def resize_dynamic(image: Array, hw: Array, out_h: int, out_w: int) -> Array:
     (the reference resizes each slice with torchvision before localization,
     cropping.py:455-460).
 
+    Bilinear interpolation is expressed as two dense matmuls with triangle
+    (hat-function) weight matrices instead of XLA gathers: each output pixel
+    has weight ``max(0, 1 - |src - j|)`` against row/col j, which is exactly
+    the bilinear kernel. Gathers serialize on TPU (measured ~200 ms for
+    16x 768->512 resizes on v5e); the MXU form is ~two orders faster.
+
     Args:
         image: [Hp, Wp] padded buffer.
         hw: [2] actual (h, w), integer-valued (traced).
@@ -121,29 +127,20 @@ def resize_dynamic(image: Array, hw: Array, out_h: int, out_w: int) -> Array:
         [out_h, out_w] float32.
     """
     image = image.astype(jnp.float32)
+    hp, wp = image.shape
     hf = hw[0].astype(jnp.float32)
     wf = hw[1].astype(jnp.float32)
     ys = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) * (hf / out_h) - 0.5
     xs = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) * (wf / out_w) - 0.5
-    ys = jnp.clip(ys, 0.0, hf - 1.0)[:, None]
-    xs = jnp.clip(xs, 0.0, wf - 1.0)[None, :]
-    y0 = jnp.floor(ys)
-    x0 = jnp.floor(xs)
-    wy = ys - y0
-    wx = xs - x0
-    y0i = y0.astype(jnp.int32)
-    x0i = x0.astype(jnp.int32)
-    h_act = hw[0].astype(jnp.int32)
-    w_act = hw[1].astype(jnp.int32)
-    y1i = jnp.minimum(y0i + 1, h_act - 1)
-    x1i = jnp.minimum(x0i + 1, w_act - 1)
-    v00 = image[y0i, x0i]
-    v01 = image[y0i, x1i]
-    v10 = image[y1i, x0i]
-    v11 = image[y1i, x1i]
-    top = v00 * (1.0 - wx) + v01 * wx
-    bot = v10 * (1.0 - wx) + v11 * wx
-    return top * (1.0 - wy) + bot * wy
+    ys = jnp.clip(ys, 0.0, hf - 1.0)
+    xs = jnp.clip(xs, 0.0, wf - 1.0)
+
+    rows = jnp.arange(hp, dtype=jnp.float32)
+    cols = jnp.arange(wp, dtype=jnp.float32)
+    # [out_h, Hp] and [out_w, Wp] hat-function interpolation matrices.
+    r_mat = jnp.maximum(0.0, 1.0 - jnp.abs(ys[:, None] - rows[None, :]))
+    c_mat = jnp.maximum(0.0, 1.0 - jnp.abs(xs[:, None] - cols[None, :]))
+    return r_mat @ image @ c_mat.T
 
 
 @functools.partial(jax.jit, static_argnames=("target_h", "target_w"))

@@ -63,7 +63,6 @@ def tiny_pipeline():
         loc_image_size=(64, 64),
         crop_size=(32, 32),
         padded_hw=(128, 128),
-        window_cap=96,
     )
     loc_model = CoordinateRegressor(
         backbone_name="resnet18", dtype=jnp.float32
@@ -130,7 +129,6 @@ def test_pipeline_horizontal_mode_zero_angles():
         loc_image_size=(64, 64),
         crop_size=(32, 32),
         padded_hw=(128, 128),
-        window_cap=96,
         crop_mode="horizontal",
     )
     loc_model = CoordinateRegressor(backbone_name="resnet18", dtype=jnp.float32)

@@ -90,7 +90,6 @@ def test_horizontal_crop_matches_reference(center):
             jnp.array(delta, dtype=jnp.float32),
             crop_h=64,
             crop_w=64,
-            window_cap=128,
         )
     )[0]
     _compare(ours, ref)
@@ -113,7 +112,6 @@ def test_rotated_crop_matches_reference(angle):
             jnp.array(delta, dtype=jnp.float32),
             crop_h=64,
             crop_w=64,
-            window_cap=128,
         )
     )[0]
     _compare(ours, ref)
@@ -133,7 +131,6 @@ def test_multi_level_batch_shape_and_padded_image():
             crop_h=64,
             crop_w=64,
             image_hw=jnp.array([150, 120]),
-            window_cap=64,
         )
     )
     assert out.shape == (5, 64, 64)
@@ -148,7 +145,27 @@ def test_multi_level_batch_shape_and_padded_image():
             jnp.array([30, 15, 10, 12], dtype=jnp.float32),
             crop_h=64,
             crop_w=64,
-            window_cap=64,
         )
     )
     np.testing.assert_array_equal(out, out_unpadded)
+
+
+@pytest.mark.parametrize("center", [(0.5, 0.5), (0.3, 0.7)])
+def test_separable_path_matches_gather_path(center):
+    image = (RNG.rand(180, 160) * 300 - 50).astype(np.float32)
+    delta = jnp.array([40, 20, 15, 25], dtype=jnp.float32)
+    centers = jnp.array([center], dtype=jnp.float32)
+    angles = jnp.zeros((1,), dtype=jnp.float32)
+    a = np.asarray(
+        crop_ivd_regions(
+            jnp.array(image), centers, angles, delta, crop_h=64, crop_w=64
+        )
+    )
+    b = np.asarray(
+        crop_ivd_regions(
+            jnp.array(image), centers, angles, delta,
+            crop_h=64, crop_w=64, separable=True,
+        )
+    )
+    diff = np.abs(a.astype(int) - b.astype(int))
+    assert diff.max() <= 1  # identical up to float-accumulation rounding
