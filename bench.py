@@ -1,8 +1,10 @@
 """Benchmark harness: prints ONE JSON line for the driver.
 
-Headline metric (BASELINE.json): images/sec/chip for the flagship
-ConvNeXt-base 512x512 localization forward (reference default envelope:
-ConvNeXt-base @ 512^2, batch 32, fp16, single CUDA GPU —
+Headline metric (BASELINE.json north star): p50 per-study E2E latency of the
+fused two-stage graph (localization -> crop -> grading chained on device).
+``BENCH_METRIC=loc_forward`` selects the alternate metric: images/sec/chip
+for the flagship ConvNeXt-base 512x512 localization forward (reference
+default envelope: ConvNeXt-base @ 512^2, batch 32, fp16, single CUDA GPU —
 trainers/localization.py:40,65 + trainers/base.py:95-98).
 
 Measurement protocol: the device this runs on may sit behind a remote tunnel
@@ -161,7 +163,9 @@ def main() -> None:
 if __name__ == "__main__":
     import os
 
-    if os.environ.get("BENCH_METRIC") == "study_e2e":
-        bench_study_e2e()
-    else:
+    # Headline = the BASELINE.json north-star: fused two-stage per-study E2E.
+    # BENCH_METRIC=loc_forward selects the flagship forward throughput.
+    if os.environ.get("BENCH_METRIC") == "loc_forward":
         main()
+    else:
+        bench_study_e2e()
