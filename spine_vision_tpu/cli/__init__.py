@@ -78,6 +78,20 @@ def _build_parser() -> argparse.ArgumentParser:
         ClassificationConfig,
     )
 
+    test = commands.add_parser(
+        "test", help="Ad-hoc timed inference on image files"
+    )
+    test.add_argument("--checkpoint-path", required=True)
+    test.add_argument("--images", nargs="+", required=True)
+    test.add_argument(
+        "--model-kind",
+        choices=["classification", "localization"],
+        default="classification",
+    )
+    test.add_argument("--backbone", default="resnet18")
+    test.add_argument("--image-size", nargs=2, type=int, default=[256, 256])
+    test.add_argument("-v", "--verbose", action="store_true")
+
     commands.add_parser("bench", help="Run the benchmark harness")
     return parser
 
@@ -144,6 +158,18 @@ def cli(argv: list[str] | None = None) -> int:
             evaluate_localization(config_from_args(LocalizationConfig, args))
         else:
             evaluate_classification(config_from_args(ClassificationConfig, args))
+        return 0
+
+    if args.command == "test":
+        from spine_vision_tpu.cli.train import test_inference_command
+
+        test_inference_command(
+            checkpoint_path=args.checkpoint_path,
+            images=args.images,
+            model_kind=args.model_kind,
+            backbone=args.backbone,
+            image_size=tuple(args.image_size),
+        )
         return 0
 
     if args.command == "bench":

@@ -8,6 +8,8 @@ documents but never wired (SURVEY.md §1 note — README.md:53-55 advertises
 
 from __future__ import annotations
 
+import numpy as np
+
 from spine_vision_tpu.core import logger
 from spine_vision_tpu.train.classification import (
     ClassificationConfig,
@@ -48,6 +50,68 @@ def train_classification(config: ClassificationConfig) -> dict[str, float]:
         result.best_epoch + 1,
     )
     return trainer.evaluate()
+
+
+def test_inference_command(
+    checkpoint_path: str,
+    images: list[str],
+    model_kind: str = "classification",
+    backbone: str = "resnet18",
+    image_size: tuple[int, int] = (256, 256),
+) -> dict:
+    """Ad-hoc timed inference on image files (the reference README documents
+    a ``spine-vision test`` command that was never wired; SURVEY.md §1)."""
+    from pathlib import Path
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from spine_vision_tpu.models import (
+        Classifier,
+        CoordinateRegressor,
+        classifier_test_inference,
+        regressor_test_inference,
+    )
+    from spine_vision_tpu.train.checkpoint import load_checkpoint
+    from spine_vision_tpu.train.state import TrainState
+
+    if model_kind == "classification":
+        model = Classifier(backbone_name=backbone, dtype=jnp.float32)
+    else:
+        model = CoordinateRegressor(backbone_name=backbone, dtype=jnp.float32)
+    h, w = image_size
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)), train=False
+    )
+    state = TrainState.create(
+        params=variables["params"],
+        tx=optax.identity(),
+        batch_stats=variables.get("batch_stats"),
+    )
+    state, _ = load_checkpoint(Path(checkpoint_path), state, restore_opt_state=False)
+
+    if model_kind == "classification":
+        result = classifier_test_inference(
+            model, state.variables(), images, image_size=image_size
+        )
+        logger.info(
+            "Inference on %d images: %.1f ms", result["num_images"],
+            result["inference_time_ms"],
+        )
+        for task, preds in result["predictions"].items():
+            logger.info("  %s: %s", task, preds.tolist())
+    else:
+        result = regressor_test_inference(
+            model, state.variables(), images, image_size=image_size
+        )
+        logger.info(
+            "Inference on %d images: %.1f ms", result["num_images"],
+            result["inference_time_ms"],
+        )
+        for i, coords in enumerate(result["pixel_coordinates"]):
+            logger.info("  image %d coords: %s", i, np.round(coords, 1).tolist())
+    return result
 
 
 def evaluate_localization(config: LocalizationConfig) -> dict[str, float]:

@@ -503,7 +503,9 @@ def _build_pipeline(config: ClassificationDatasetConfig) -> SeriesCropPipeline:
         tx=optax.identity(),
         batch_stats=variables.get("batch_stats"),
     )
-    state, _ = load_checkpoint(config.localization_model_path, state)
+    state, _ = load_checkpoint(
+        config.localization_model_path, state, restore_opt_state=False
+    )
     return SeriesCropPipeline(model, state.variables(), config=pipe_config)
 
 

@@ -401,7 +401,9 @@ class StudyInferencePipeline:
             tx=optax.identity(),
             batch_stats=loc_init.get("batch_stats"),
         )
-        loc_state, _ = load_checkpoint(Path(loc_checkpoint), loc_state)
+        loc_state, _ = load_checkpoint(
+            Path(loc_checkpoint), loc_state, restore_opt_state=False
+        )
 
         cls_model = Classifier(
             backbone_name=cls_backbone, tasks=tuple(task_list), dtype=dtype
@@ -417,7 +419,9 @@ class StudyInferencePipeline:
             tx=optax.identity(),
             batch_stats=cls_init.get("batch_stats"),
         )
-        cls_state, _ = load_checkpoint(Path(cls_checkpoint), cls_state)
+        cls_state, _ = load_checkpoint(
+            Path(cls_checkpoint), cls_state, restore_opt_state=False
+        )
 
         logger.info(
             "Loaded pipeline: loc=%s (%s), cls=%s (%s)",

@@ -62,7 +62,9 @@ def _json_default(obj: Any) -> Any:
 
 
 def load_checkpoint(
-    path: Path, state_template: TrainState
+    path: Path,
+    state_template: TrainState,
+    restore_opt_state: bool = True,
 ) -> tuple[TrainState, dict[str, Any]]:
     """Restore a checkpoint into a freshly-created state's structure.
 
@@ -70,15 +72,26 @@ def load_checkpoint(
         path: orbax checkpoint directory (e.g. .../best_model).
         state_template: A state with the target structure (from
             ``TrainState.create`` on the same model/optimizer).
+        restore_opt_state: Restore the optimizer state too. Pass False for
+            inference-time loads built with a placeholder optimizer
+            (optax.identity) — the on-disk optimizer tree then need not
+            match the template's.
 
     Returns:
         (restored state, metadata dict).
     """
     path = Path(path).absolute()
-    template = _state_payload(state_template)
-    abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, template)
     with ocp.StandardCheckpointer() as checkpointer:
-        restored = checkpointer.restore(path, abstract)
+        if restore_opt_state:
+            template = _state_payload(state_template)
+            abstract = jax.tree_util.tree_map(
+                ocp.utils.to_shape_dtype_struct, template
+            )
+            restored = checkpointer.restore(path, abstract)
+        else:
+            # No template: restore with the on-disk structure (whatever
+            # optimizer trained it) and take only the model state.
+            restored = checkpointer.restore(path)
 
     dropout_key = restored["dropout_key"]
     if jax.dtypes.issubdtype(state_template.dropout_key.dtype, jax.dtypes.prng_key):
@@ -87,9 +100,13 @@ def load_checkpoint(
     state = state_template.replace(
         step=restored["step"],
         params=restored["params"],
-        opt_state=restored["opt_state"],
         batch_stats=restored["batch_stats"],
         dropout_key=dropout_key,
+        **(
+            {"opt_state": restored["opt_state"]}
+            if restore_opt_state
+            else {}
+        ),
     )
 
     meta_path = path.parent / f"{path.name}.meta.json"
