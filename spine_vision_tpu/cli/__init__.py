@@ -92,6 +92,26 @@ def _build_parser() -> argparse.ArgumentParser:
     test.add_argument("--image-size", nargs=2, type=int, default=[256, 256])
     test.add_argument("-v", "--verbose", action="store_true")
 
+    infer = commands.add_parser(
+        "infer", help="Fused two-stage study inference (loc -> crop -> grade)"
+    )
+    infer.add_argument("--loc-checkpoint", required=True)
+    infer.add_argument("--cls-checkpoint", required=True)
+    infer.add_argument(
+        "--t1", required=True, nargs="+",
+        help="T1 series per study (DICOM dir / .mha / .nii / .nrrd)",
+    )
+    infer.add_argument(
+        "--t2", required=True, nargs="+", help="T2 series per study"
+    )
+    infer.add_argument("--loc-backbone", default="convnext_base")
+    infer.add_argument("--cls-backbone", default="resnet18")
+    infer.add_argument(
+        "--crop-mode", choices=["horizontal", "rotated"], default="horizontal"
+    )
+    infer.add_argument("--output-json", default=None)
+    infer.add_argument("-v", "--verbose", action="store_true")
+
     commands.add_parser("bench", help="Run the benchmark harness")
     return parser
 
@@ -170,6 +190,50 @@ def cli(argv: list[str] | None = None) -> int:
             backbone=args.backbone,
             image_size=tuple(args.image_size),
         )
+        return 0
+
+    if args.command == "infer":
+        import json
+
+        from spine_vision_tpu.infer import (
+            StudyInferencePipeline,
+            StudyPipelineConfig,
+            study_input_from_paths,
+        )
+
+        if len(args.t1) != len(args.t2):
+            parser.error("--t1 and --t2 must list the same number of series")
+        pipeline = StudyInferencePipeline.from_checkpoints(
+            loc_checkpoint=args.loc_checkpoint,
+            cls_checkpoint=args.cls_checkpoint,
+            loc_backbone=args.loc_backbone,
+            cls_backbone=args.cls_backbone,
+            config=StudyPipelineConfig(crop_mode=args.crop_mode),
+        )
+        studies = [
+            study_input_from_paths(t1, t2, study_id=f"study{i}")
+            for i, (t1, t2) in enumerate(zip(args.t1, args.t2))
+        ]
+        results = pipeline.run(studies)
+        payload = [
+            {
+                "study_id": r.study_id,
+                "coords": r.coords.tolist(),
+                "predictions": {k: v.tolist() for k, v in r.predictions.items()},
+                "probabilities": {
+                    k: v.tolist() for k, v in r.probabilities.items()
+                },
+            }
+            for r in results
+        ]
+        text = json.dumps(payload, indent=2)
+        if args.output_json:
+            from pathlib import Path as _Path
+
+            _Path(args.output_json).write_text(text)
+            logger.info("Wrote predictions to %s", args.output_json)
+        else:
+            print(text)
         return 0
 
     if args.command == "bench":

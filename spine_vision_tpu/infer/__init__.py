@@ -9,6 +9,7 @@ from spine_vision_tpu.infer.pipeline import (
     StudyPipelineConfig,
     StudyResult,
     loc_and_crop,
+    study_input_from_paths,
 )
 
 __all__ = [
@@ -20,4 +21,5 @@ __all__ = [
     "StudyPipelineConfig",
     "StudyResult",
     "loc_and_crop",
+    "study_input_from_paths",
 ]

@@ -84,6 +84,45 @@ class StudyInput:
     study_id: str = ""
 
 
+def study_input_from_paths(
+    t1_path: Path,
+    t2_path: Path,
+    study_id: str = "",
+) -> StudyInput:
+    """Build a StudyInput from volume paths (DICOM dir / .mha / .nii / .nrrd).
+
+    Decodes each series, resamples to 0.3 mm isotropic on device, and
+    extracts the middle sagittal slice + plane spacing — the same host
+    preparation the classification dataset builder performs
+    (reference phenikaa.py:176-183, cropping.py:37-101).
+    """
+    from dataclasses import replace as dc_replace
+
+    from spine_vision_tpu.io import read_medical_image
+    from spine_vision_tpu.ops import resample_to_isotropic
+
+    def prepare(path: Path) -> tuple[np.ndarray, tuple[float, float]]:
+        image = read_medical_image(Path(path))
+        resampled, new_zyx = resample_to_isotropic(image.array, image.spacing_zyx)
+        image = dc_replace(
+            image,
+            array=np.asarray(resampled),
+            spacing=(new_zyx[2], new_zyx[1], new_zyx[0]),
+            metadata=dict(image.metadata),
+        )
+        return image.extract_middle_slice().astype(np.float32), image.slice_spacing()
+
+    t1_slice, t1_spacing = prepare(t1_path)
+    t2_slice, t2_spacing = prepare(t2_path)
+    return StudyInput(
+        t1_slice=t1_slice,
+        t2_slice=t2_slice,
+        t1_spacing=t1_spacing,
+        t2_spacing=t2_spacing,
+        study_id=study_id or Path(t2_path).stem,
+    )
+
+
 @dataclass
 class StudyResult:
     """Per-study outputs of the fused graph (host numpy)."""
