@@ -109,6 +109,11 @@ def _build_parser() -> argparse.ArgumentParser:
     infer.add_argument(
         "--crop-mode", choices=["horizontal", "rotated"], default="horizontal"
     )
+    infer.add_argument(
+        "--padded-hw", nargs=2, type=int, default=[1024, 1024],
+        help="Static slice buffer (raise for large-FOV series: a 350 mm "
+        "whole-spine sagittal at 0.3 mm needs ~1536)",
+    )
     infer.add_argument("--output-json", default=None)
     infer.add_argument("-v", "--verbose", action="store_true")
 
@@ -208,7 +213,9 @@ def cli(argv: list[str] | None = None) -> int:
             cls_checkpoint=args.cls_checkpoint,
             loc_backbone=args.loc_backbone,
             cls_backbone=args.cls_backbone,
-            config=StudyPipelineConfig(crop_mode=args.crop_mode),
+            config=StudyPipelineConfig(
+                crop_mode=args.crop_mode, padded_hw=tuple(args.padded_hw)
+            ),
         )
         studies = [
             study_input_from_paths(t1, t2, study_id=f"study{i}")
@@ -230,7 +237,9 @@ def cli(argv: list[str] | None = None) -> int:
         if args.output_json:
             from pathlib import Path as _Path
 
-            _Path(args.output_json).write_text(text)
+            out_path = _Path(args.output_json)
+            out_path.parent.mkdir(parents=True, exist_ok=True)
+            out_path.write_text(text)
             logger.info("Wrote predictions to %s", args.output_json)
         else:
             print(text)

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import csv
 import re
-from dataclasses import dataclass, replace
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Any, Iterable
 
@@ -25,9 +25,8 @@ from pydantic import computed_field
 from spine_vision_tpu.core import BaseConfig, logger
 from spine_vision_tpu.data.builders.base import ProcessingResult
 from spine_vision_tpu.infer import SeriesCropPipeline, StudyPipelineConfig
-from spine_vision_tpu.io import read_medical_image, write_records_csv
-from spine_vision_tpu.io.types import MedicalImage
-from spine_vision_tpu.ops import resample_to_isotropic
+from spine_vision_tpu.io import write_records_csv
+from spine_vision_tpu.io.series import prepare_series_slice
 
 
 class ClassificationDatasetConfig(BaseConfig):
@@ -284,24 +283,11 @@ class _SeriesWork:
     levels: dict[int, dict]  # phenikaa-level -> label row
 
 
-def _resample_image(image: MedicalImage) -> MedicalImage:
-    """Isotropic 0.3 mm resample on device (reference cropping.py:37-60)."""
-    resampled, new_zyx = resample_to_isotropic(image.array, image.spacing_zyx)
-    return replace(
-        image,
-        array=np.asarray(resampled),
-        spacing=(new_zyx[2], new_zyx[1], new_zyx[0]),
-        metadata=dict(image.metadata),
-    )
-
-
 def _prepare_series(path: Path) -> tuple[np.ndarray, tuple[float, float]]:
-    """Decode + isotropic resample + middle sagittal slice + 2D spacing."""
-    image = read_medical_image(path)
-    image = _resample_image(image)
-    middle = image.extract_middle_slice()
-    spacing = image.slice_spacing()
-    return middle.astype(np.float32), spacing
+    """Decode + isotropic middle sagittal slice + 2D spacing (io.series:
+    equals the reference's full-volume resample + orient + slice chain,
+    computed directly)."""
+    return prepare_series_slice(path)
 
 
 class _CropBatcher:

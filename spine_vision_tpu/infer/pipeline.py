@@ -91,29 +91,17 @@ def study_input_from_paths(
 ) -> StudyInput:
     """Build a StudyInput from volume paths (DICOM dir / .mha / .nii / .nrrd).
 
-    Decodes each series, resamples to 0.3 mm isotropic on device, and
-    extracts the middle sagittal slice + plane spacing — the same host
-    preparation the classification dataset builder performs
-    (reference phenikaa.py:176-183, cropping.py:37-101).
+    Decodes each series and extracts its 0.3 mm-isotropic middle sagittal
+    slice + plane spacing directly (io.series — equal to the reference's
+    full-volume resample + orient + slice, reference phenikaa.py:176-183,
+    cropping.py:37-101, without materializing the resampled volume). Shared
+    with the classification dataset builder so training-time and
+    inference-time preparation cannot diverge.
     """
-    from dataclasses import replace as dc_replace
+    from spine_vision_tpu.io.series import prepare_series_slice
 
-    from spine_vision_tpu.io import read_medical_image
-    from spine_vision_tpu.ops import resample_to_isotropic
-
-    def prepare(path: Path) -> tuple[np.ndarray, tuple[float, float]]:
-        image = read_medical_image(Path(path))
-        resampled, new_zyx = resample_to_isotropic(image.array, image.spacing_zyx)
-        image = dc_replace(
-            image,
-            array=np.asarray(resampled),
-            spacing=(new_zyx[2], new_zyx[1], new_zyx[0]),
-            metadata=dict(image.metadata),
-        )
-        return image.extract_middle_slice().astype(np.float32), image.slice_spacing()
-
-    t1_slice, t1_spacing = prepare(t1_path)
-    t2_slice, t2_spacing = prepare(t2_path)
+    t1_slice, t1_spacing = prepare_series_slice(t1_path)
+    t2_slice, t2_spacing = prepare_series_slice(t2_path)
     return StudyInput(
         t1_slice=t1_slice,
         t2_slice=t2_slice,

@@ -18,6 +18,10 @@ from spine_vision_tpu.io.pdf import (
     pdf_to_images,
 )
 from spine_vision_tpu.io.readers import ImageFormat, detect_format, read_medical_image
+from spine_vision_tpu.io.series import (
+    extract_isotropic_middle_slice,
+    prepare_series_slice,
+)
 from spine_vision_tpu.io.tabular import load_tabular_data, write_records_csv
 from spine_vision_tpu.io.types import MedicalImage
 from spine_vision_tpu.io.writers import convert_format, write_medical_image
@@ -27,10 +31,12 @@ __all__ = [
     "MedicalImage",
     "convert_format",
     "detect_format",
+    "extract_isotropic_middle_slice",
     "load_tabular_data",
     "pdf_first_page_to_array",
     "pdf_to_arrays",
     "pdf_to_images",
+    "prepare_series_slice",
     "read_dicom_file",
     "read_dicom_series",
     "read_medical_image",

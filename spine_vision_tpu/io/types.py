@@ -85,11 +85,11 @@ class MedicalImage:
             letters.append(best[0])
         return "".join(letters)
 
-    def orient(self, code: str = "LPI") -> "MedicalImage":
-        """Reorient so index axis k increases toward ``code[k]`` (sitk.DICOMOrient).
+    def orientation_plan(self, code: str = "LPI") -> tuple[list[int], list[bool]]:
+        """Axis permutation + flips realizing ``orient(code)``.
 
-        Axis permutation + flips only (no resampling); updates array,
-        spacing, origin, and direction consistently.
+        Returns (perm, flips) over (x, y, z) index axes: perm[new_axis] =
+        old_axis, flips[new_axis] = whether that old axis reverses.
         """
         code = code.upper()
         if len(code) != 3:
@@ -112,6 +112,15 @@ class MedicalImage:
             used.add(old_axis)
             perm.append(old_axis)
             flips.append(float(np.dot(self.direction[:, old_axis], target)) < 0)
+        return perm, flips
+
+    def orient(self, code: str = "LPI") -> "MedicalImage":
+        """Reorient so index axis k increases toward ``code[k]`` (sitk.DICOMOrient).
+
+        Axis permutation + flips only (no resampling); updates array,
+        spacing, origin, and direction consistently.
+        """
+        perm, flips = self.orientation_plan(code)
 
         # Build new geometry.
         size = self.size
