@@ -381,7 +381,11 @@ class ClassificationDataset:
         return records
 
     def _get_unique_patients(self) -> list[str]:
-        return list({r["patient_key"] for r in self.records})
+        # Sorted: set order depends on PYTHONHASHSEED, and split_patients is
+        # order-sensitive — an unsorted list silently reshuffles the
+        # train/val/test membership across processes (test-set leakage on
+        # resume/evaluate, inconsistent multi-host splits).
+        return sorted({r["patient_key"] for r in self.records})
 
     def __len__(self) -> int:
         return len(self.records)

@@ -158,19 +158,21 @@ class DataLoader:
             for i in range(n_batches)
         ]
         if self.process_count > 1:
-            # Contiguous per-host slice of every global batch (the trailing
-            # partial batch splits by even shares, remainder to low ranks).
+            # Contiguous EQUAL per-host slice of every global batch: every
+            # process must iterate the same number of batches with the same
+            # per-host shard size, or the next cross-host collective
+            # deadlocks. A trailing partial batch is padded (repeat last
+            # index) up to a process_count multiple first; the duplicate
+            # samples parallel the eval-side pad_to_multiple convention.
             def host_slice(batch: np.ndarray) -> np.ndarray:
+                pad = (-len(batch)) % self.process_count
+                if pad:
+                    batch = np.concatenate([batch, np.repeat(batch[-1:], pad)])
                 share = len(batch) // self.process_count
-                extra = len(batch) % self.process_count
-                start = self.process_index * share + min(
-                    self.process_index, extra
-                )
-                stop = start + share + (1 if self.process_index < extra else 0)
-                return batch[start:stop]
+                start = self.process_index * share
+                return batch[start : start + share]
 
             batch_indices = [host_slice(b) for b in batch_indices]
-            batch_indices = [b for b in batch_indices if len(b) > 0]
 
         out_queue: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()

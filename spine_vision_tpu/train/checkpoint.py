@@ -39,14 +39,20 @@ def _state_payload(state: TrainState) -> dict[str, Any]:
 
 
 def save_checkpoint(path: Path, state: TrainState, meta: dict[str, Any]) -> None:
-    """Save train state (orbax) + metadata (json sidecar)."""
+    """Save train state (orbax) + metadata (json sidecar).
+
+    Must be called by EVERY process in a multi-process run (the orbax save
+    of sharded arrays is a collective); only the sidecar write is gated to
+    process 0.
+    """
     path = Path(path).absolute()
     path.parent.mkdir(parents=True, exist_ok=True)
     with ocp.StandardCheckpointer() as checkpointer:
         checkpointer.save(path, _state_payload(state), force=True)
-    (path.parent / f"{path.name}.meta.json").write_text(
-        json.dumps(meta, default=_json_default)
-    )
+    if jax.process_index() == 0:
+        (path.parent / f"{path.name}.meta.json").write_text(
+            json.dumps(meta, default=_json_default)
+        )
 
 
 def _json_default(obj: Any) -> Any:

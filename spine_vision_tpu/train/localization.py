@@ -185,9 +185,16 @@ class LocalizationTrainer(BaseTrainer[LocalizationConfig]):
         self, preds: np.ndarray, targets: np.ndarray, batches: list[Any]
     ) -> None:
         n_vis = min(self.config.num_visualization_samples, len(preds))
-        images = np.concatenate(
-            [np.asarray(b["image"]) for b in batches], axis=0
-        )[:n_vis]
+        # Only materialize images from the leading batches actually shown
+        # (concatenating the whole val split costs GBs at 512^2).
+        image_batches: list[np.ndarray] = []
+        collected = 0
+        for b in batches:
+            image_batches.append(np.asarray(b["image"]))
+            collected += len(image_batches[-1])
+            if collected >= n_vis:
+                break
+        images = np.concatenate(image_batches, axis=0)[:n_vis]
         metadata = [m for b in batches for m in b.get("metadata", [])][:n_vis]
         try:
             self.visualizer.plot_localization_predictions(

@@ -81,12 +81,17 @@ def current_lr(opt_state: optax.OptState) -> float:
     """Extract the current learning rate from an optimizer state.
 
     Parity with torch's ``optimizer.param_groups[0]['lr']`` logging: walks the
-    optax chain for the InjectHyperparamsState.
+    optax chain for the InjectHyperparamsState. The hyperparams check comes
+    FIRST: InjectHyperparamsState is itself a NamedTuple, so a bare
+    isinstance-tuple test would iterate its fields instead of matching it
+    (the grad_clip=None case, where no optax.chain wraps it).
     """
-    parts = opt_state if isinstance(opt_state, tuple) else (opt_state,)
-    for part in parts:
-        if hasattr(part, "hyperparams"):
-            return float(jax.device_get(part.hyperparams["learning_rate"]))
+    if hasattr(opt_state, "hyperparams"):
+        return float(jax.device_get(opt_state.hyperparams["learning_rate"]))
+    if isinstance(opt_state, tuple):
+        for part in opt_state:
+            if hasattr(part, "hyperparams"):
+                return float(jax.device_get(part.hyperparams["learning_rate"]))
     raise ValueError("No injected learning_rate found in opt_state")
 
 
@@ -94,7 +99,7 @@ def set_lr(opt_state: optax.OptState, new_lr: float) -> optax.OptState:
     """Return an opt_state with the injected learning rate replaced.
 
     Used by the plateau scheduler (trainer-side) to decay lr when the
-    validation loss stops improving.
+    validation loss stops improving. Same match order as :func:`current_lr`.
     """
 
     def replace(part: Any) -> Any:
@@ -106,6 +111,8 @@ def set_lr(opt_state: optax.OptState, new_lr: float) -> optax.OptState:
             return part._replace(hyperparams=hp)
         return part
 
+    if hasattr(opt_state, "hyperparams"):
+        return replace(opt_state)
     if isinstance(opt_state, tuple):
         return tuple(replace(p) for p in opt_state)
     return replace(opt_state)

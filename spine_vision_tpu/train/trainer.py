@@ -476,17 +476,19 @@ class BaseTrainer(Generic[TConfig]):
 
         self.on_train_begin()
 
+        first_iteration = True
         for epoch in range(self.current_epoch, self.config.num_epochs):
             self.current_epoch = epoch
             self.on_epoch_begin(epoch)
 
             epoch_start = time.perf_counter()
-            if self.config.profile_trace and epoch == self.current_epoch == 0:
+            if self.config.profile_trace and first_iteration:
                 assert self.config.output_path is not None
                 with trace_profile(self.config.logs_path / "profile"):
                     train_loss = self._train_epoch()
             else:
                 train_loss = self._train_epoch()
+            first_iteration = False
             epoch_time = time.perf_counter() - epoch_start
             lr = schedules.current_lr(self.state.opt_state)
             self.history["train_loss"].append(train_loss)
@@ -515,14 +517,19 @@ class BaseTrainer(Generic[TConfig]):
             epoch_metrics = {"train_loss": train_loss, "val_loss": val_loss, **metrics}
             self.on_epoch_end(epoch, epoch_metrics)
 
-            metric_for_ckpt = self.get_metric_for_checkpoint(val_loss, metrics)
-            if metric_for_ckpt < self.best_metric - self.config.min_delta:
-                self.best_metric = metric_for_ckpt
-                self.best_epoch = epoch
-                self.patience_counter = 0
-                self._save(is_best=True)
-            else:
-                self.patience_counter += 1
+            # Best-model gating and early stopping run only on validated
+            # epochs: with val_frequency > 1, the train-loss fallback is on
+            # an incomparable scale to the val metric and would corrupt the
+            # best-checkpoint selection and reset patience every epoch.
+            if val_loss is not None or self.val_loader is None:
+                metric_for_ckpt = self.get_metric_for_checkpoint(val_loss, metrics)
+                if metric_for_ckpt < self.best_metric - self.config.min_delta:
+                    self.best_metric = metric_for_ckpt
+                    self.best_epoch = epoch
+                    self.patience_counter = 0
+                    self._save(is_best=True)
+                else:
+                    self.patience_counter += 1
 
             if (epoch + 1) % self.config.save_frequency == 0:
                 self._save(is_best=False)
@@ -534,11 +541,13 @@ class BaseTrainer(Generic[TConfig]):
                 logger.info("Early stopping at epoch %d", epoch + 1)
                 break
 
-        # Reload best model.
+        # Reload best model weights; keep this run's loop state (history,
+        # epoch counters) — restoring them would truncate TrainingResult and
+        # the final visualizations to the best epoch's snapshot.
         assert self.config.output_path is not None
         best = self.config.output_path / "best_model"
         if best.exists():
-            self._load(best)
+            self._load(best, restore_loop_state=False)
 
         result = TrainingResult(
             best_epoch=self.best_epoch,
@@ -560,32 +569,32 @@ class BaseTrainer(Generic[TConfig]):
     def _train_epoch(self) -> float:
         step_fn = self._get_train_step()
         self.train_loader.set_epoch(self.current_epoch)
-        total = 0.0
         count = 0
-        loss = None
         timer = self.step_timer if self.config.profile_steps else None
+        loss_sum = None  # device-side accumulator; fetched once per epoch
         for batch_idx, batch in enumerate(self.train_loader):
             device_batch = self._shard(batch)
             if timer is not None:
                 timer.start()
             self.state, loss = step_fn(self.state, device_batch)
-            # Async dispatch: only sync for logging.
+            # Async dispatch: the loss stays on device and accumulates
+            # lazily; the host only syncs for periodic logging (or when
+            # step timing is on, which needs a per-step barrier anyway).
+            loss_sum = loss if loss_sum is None else loss_sum + loss
+            count += 1
             if (batch_idx + 1) % self.config.log_frequency == 0:
-                lval = float(jax.device_get(loss))
-                total += lval
-                count += 1
                 logger.debug(
                     "Epoch %d [%d/%d] Loss: %.6f",
                     self.current_epoch,
                     batch_idx + 1,
                     len(self.train_loader),
-                    lval,
+                    float(jax.device_get(loss)),
                 )
-            else:
-                total += float(jax.device_get(loss))
-                count += 1
+            elif timer is not None:
+                jax.block_until_ready(loss)
             if timer is not None:
                 timer.stop()
+        total = float(jax.device_get(loss_sum)) if loss_sum is not None else 0.0
         if timer is not None and len(timer) > 1:
             summary = timer.summary()
             logger.info(
@@ -605,8 +614,11 @@ class BaseTrainer(Generic[TConfig]):
         for batch in self.val_loader:
             device_batch, n_valid = self._shard_eval(batch)
             outputs, loss = self._eval_step(self.state, device_batch)
-            total += float(jax.device_get(loss))
-            count += 1
+            # Weight each batch by its true size so a padded trailing batch
+            # doesn't count as much as a full one in the epoch's val loss
+            # (which gates early stopping / plateau / best-model selection).
+            total += float(jax.device_get(loss)) * n_valid
+            count += n_valid
             outputs_list.append(self._slice_outputs(outputs, n_valid))
             batches.append(batch)
         avg_loss = total / max(count, 1)
@@ -650,8 +662,10 @@ class BaseTrainer(Generic[TConfig]):
         logger.info(msg)
 
     def _save(self, is_best: bool) -> None:
-        if not is_main_process():
-            return
+        # Orbax save of mesh-sharded/replicated arrays is a COLLECTIVE in
+        # multi-process runs: every process must join it (only the metadata
+        # sidecar is main-process-gated, inside save_checkpoint). The
+        # reference's torch.save-on-main pattern does not port.
         assert self.config.output_path is not None
         name = (
             "best_model"
@@ -671,9 +685,11 @@ class BaseTrainer(Generic[TConfig]):
         save_checkpoint(self.config.output_path / name, self.state, meta)
         logger.debug("Saved checkpoint: %s", name)
 
-    def _load(self, path: Path) -> None:
+    def _load(self, path: Path, restore_loop_state: bool = True) -> None:
+        """Restore model/optimizer state; optionally also the loop state
+        (epoch counters, history) — off for end-of-training best reloads."""
         self.state, meta = load_checkpoint(Path(path), self.state)
-        if meta:
+        if meta and restore_loop_state:
             self.current_epoch = int(meta.get("epoch", -1)) + 1
             self.best_metric = float(meta.get("best_metric", float("inf")))
             self.best_epoch = int(meta.get("best_epoch", 0))
