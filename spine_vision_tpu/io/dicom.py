@@ -220,12 +220,19 @@ def _decode_floats(raw: bytes) -> list[float]:
 
 
 def _decode_int(raw: bytes, default: int = 0) -> int:
-    if len(raw) == 2:
-        return struct.unpack("<H", raw)[0]
+    """Decode an IS (Integer String) value.
+
+    IS is ASCII text — including 2-byte values like b"1 " or b"15"
+    (interpreting those as binary uint16 scrambles InstanceNumber sorting
+    and NumberOfFrames). The binary fallback only fires for non-ASCII
+    payloads (malformed writers that stored US binary under an IS tag).
+    """
     text = _decode_str(raw)
     try:
         return int(float(text))
     except ValueError:
+        if len(raw) == 2:
+            return struct.unpack("<H", raw)[0]
         return default
 
 
@@ -433,12 +440,21 @@ class DicomFile:
     def _decode_encapsulated(
         self, start: int, rows: int, cols: int, frames: int
     ) -> np.ndarray:
-        """Decode encapsulated (fragmented) pixel data."""
+        """Decode encapsulated (fragmented) pixel data.
+
+        The first item is ALWAYS the Basic Offset Table (possibly empty);
+        a frame may span several fragments, so fragments are grouped into
+        per-frame byte streams — by count when 1:1, by concatenation for
+        single-frame data, or via the BOT offsets otherwise.
+        """
         reader = _Reader(self._body, little=True)
         reader.pos = start
         fragments: list[bytes] = []
-        # Basic offset table item first.
+        offsets: list[int] = []  # item-header offset of each data fragment
+        first_data_pos: int | None = None
+        item_index = 0
         while reader.pos + 8 <= reader.end:
+            item_pos = reader.pos
             group = reader.u16()
             element = reader.u16()
             length = reader.u32()
@@ -446,47 +462,83 @@ class DicomFile:
                 break
             if (group, element) != (0xFFFE, 0xE000):
                 raise DicomError("Malformed encapsulated pixel data")
-            fragments.append(reader.raw(length))
+            payload = reader.raw(length)
+            if item_index == 0:
+                bot = payload  # Basic Offset Table (possibly empty)
+                first_data_pos = reader.pos
+            else:
+                fragments.append(payload)
+                assert first_data_pos is not None
+                offsets.append(item_pos - first_data_pos)
+            item_index += 1
         if not fragments:
             raise DicomError("No pixel fragments")
-        # Drop the basic offset table (first item, possibly empty).
-        data_fragments = fragments[1:] if len(fragments) > 1 else fragments
+
+        # Group fragments into one byte stream per frame.
+        if len(fragments) == frames:
+            streams = fragments
+        elif frames == 1:
+            streams = [b"".join(fragments)]
+        elif len(bot) >= 4 * frames:
+            frame_starts = [
+                struct.unpack_from("<I", bot, 4 * i)[0] for i in range(frames)
+            ]
+            streams = []
+            for fi, frame_start in enumerate(frame_starts):
+                stop = (
+                    frame_starts[fi + 1]
+                    if fi + 1 < frames
+                    else offsets[-1] + 1
+                )
+                parts = [
+                    frag
+                    for frag, off in zip(fragments, offsets)
+                    if frame_start <= off < stop or (fi == frames - 1 and off >= frame_start)
+                ]
+                streams.append(b"".join(parts))
+        else:
+            raise DicomError(
+                f"Cannot group {len(fragments)} fragments into {frames} frames "
+                "(no Basic Offset Table)"
+            )
 
         ts = self.transfer_syntax
         if ts == TS_RLE:
+            signed = self.pixel_representation == 1
             slices = [
-                _decode_rle_frame(frag, rows, cols, self.bits_allocated)
-                for frag in data_fragments
+                _decode_rle_frame(frag, rows, cols, self.bits_allocated, signed)
+                for frag in streams
             ]
             return np.stack(slices)
 
-        if ts in (TS_JPEG_BASELINE, TS_JPEG_EXTENDED):
+        if ts in (TS_JPEG_BASELINE, TS_JPEG_EXTENDED, TS_JPEG2000, TS_JPEG2000_LOSSLESS):
             import io as _io
 
             from PIL import Image
 
             slices = []
-            for frag in data_fragments:
+            for frag in streams:
                 img = Image.open(_io.BytesIO(frag))
-                slices.append(np.asarray(img.convert("L") if img.mode not in ("I;16", "I") else img))
-            return np.stack(slices)
-
-        if ts in (TS_JPEG2000, TS_JPEG2000_LOSSLESS):
-            import io as _io
-
-            from PIL import Image
-
-            slices = []
-            for frag in data_fragments:
-                img = Image.open(_io.BytesIO(frag))  # PIL handles JP2 via OpenJPEG
+                if ts in (TS_JPEG_BASELINE, TS_JPEG_EXTENDED) and img.mode not in (
+                    "I;16",
+                    "I",
+                ):
+                    img = img.convert("L")
                 slices.append(np.asarray(img))
             return np.stack(slices)
 
         raise DicomError(f"Unsupported transfer syntax: {ts}")
 
 
-def _decode_rle_frame(data: bytes, rows: int, cols: int, bits: int) -> np.ndarray:
-    """Decode one DICOM RLE (PackBits) frame."""
+def _decode_rle_frame(
+    data: bytes, rows: int, cols: int, bits: int, signed: bool = False
+) -> np.ndarray:
+    """Decode one DICOM RLE (PackBits) frame.
+
+    Handles 8-bit mono, 16-bit mono (MSB+LSB segments, signed per
+    PixelRepresentation), and multi-sample data (e.g. RGB = 3 segments,
+    averaged to grayscale matching _decode_native's color fallback).
+    """
     n_segments = struct.unpack_from("<I", data, 0)[0]
     offsets = [struct.unpack_from("<I", data, 4 + 4 * i)[0] for i in range(15)]
     segments: list[np.ndarray] = []
@@ -494,13 +546,27 @@ def _decode_rle_frame(data: bytes, rows: int, cols: int, bits: int) -> np.ndarra
         start = offsets[i]
         end = offsets[i + 1] if i + 1 < n_segments and offsets[i + 1] > 0 else len(data)
         segments.append(_packbits(data[start:end], rows * cols))
-    if bits == 8 or n_segments == 1:
-        return segments[0].reshape(rows, cols)
-    # 16-bit: segment 0 = MSB, segment 1 = LSB.
-    combined = (
-        segments[0].astype(np.uint16) << 8 | segments[1].astype(np.uint16)
-    )
-    return combined.reshape(rows, cols)
+
+    if bits == 16:
+        if n_segments % 2 != 0:
+            raise DicomError(f"RLE: expected MSB/LSB segment pairs, got {n_segments}")
+        planes = []
+        for s in range(0, n_segments, 2):
+            combined = (
+                segments[s].astype(np.uint16) << 8
+                | segments[s + 1].astype(np.uint16)
+            )
+            if signed:
+                combined = combined.view(np.int16)
+            planes.append(combined.reshape(rows, cols))
+    else:
+        planes = [
+            (seg.view(np.int8) if signed else seg).reshape(rows, cols)
+            for seg in segments
+        ]
+    if len(planes) == 1:
+        return planes[0]
+    return np.stack(planes, axis=-1).astype(np.float32).mean(axis=-1)
 
 
 def _packbits(data: bytes, expected: int) -> np.ndarray:
@@ -542,14 +608,6 @@ def read_dicom_file(path: Path) -> MedicalImage:
         direction = np.stack([row_dir, col_dir, normal], axis=1)
     origin = dcm.image_position
     meta = {"modality": dcm.modality, "path": str(path)}
-    if arr.ndim == 2:
-        return MedicalImage(
-            array=arr,
-            spacing=(col_sp, row_sp, dcm.slice_spacing_hint),
-            origin=tuple(origin) if origin is not None else (0.0, 0.0, 0.0),
-            direction=direction,
-            metadata=meta,
-        )
     return MedicalImage(
         array=arr,
         spacing=(col_sp, row_sp, dcm.slice_spacing_hint),
@@ -604,8 +662,16 @@ def read_dicom_series(folder: Path) -> MedicalImage:
 
     slices.sort(key=sort_key)
 
-    arrays = [s.pixel_array() for s in slices]
-    volume = np.stack([a if a.ndim == 2 else a[0] for a in arrays])
+    # Multiframe files contribute ALL their frames (stacked along z in file
+    # order); classic single-frame files contribute one slice each.
+    planes: list[np.ndarray] = []
+    for s in slices:
+        arr = s.pixel_array()
+        if arr.ndim == 2:
+            planes.append(arr)
+        else:
+            planes.extend(arr)
+    volume = np.stack(planes)
 
     row_sp, col_sp = slices[0].pixel_spacing
     if len(slices) > 1 and slices[0].image_position is not None:

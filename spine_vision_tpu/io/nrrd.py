@@ -10,6 +10,7 @@ space (converted to LPS).
 from __future__ import annotations
 
 import gzip
+import re
 import zlib
 from pathlib import Path
 
@@ -107,13 +108,17 @@ def read_nrrd(path: Path) -> MedicalImage:
     spacing = [1.0] * ndims
     direction = np.eye(3)
     if "space directions" in header:
+        # Tokens are either "none" (non-spatial axis, e.g. vector/list axes
+        # of segmentations) or "(a,b,c)" — a plain ") "-split breaks when
+        # "none" precedes a vector.
         vectors = []
-        for token in header["space directions"].split(") "):
-            token = token.strip().strip("()")
-            if token == "none" or not token:
+        for token in re.findall(r"none|\([^)]*\)", header["space directions"]):
+            if token == "none":
                 vectors.append(None)
                 continue
-            vectors.append(np.asarray([float(v) for v in token.split(",")]))
+            vectors.append(
+                np.asarray([float(v) for v in token.strip("()").split(",")])
+            )
         spatial = [v for v in vectors if v is not None]
         for axis, vec in enumerate(spatial[:3]):
             vec = vec * flips[: len(vec)]

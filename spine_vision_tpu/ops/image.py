@@ -34,11 +34,18 @@ def normalize_minmax(arr: Array) -> Array:
 def normalize_to_uint8(arr: Array) -> Array:
     """Min-max normalize to [0, 255] uint8.
 
-    Matches reference semantics (truncation toward zero after scaling, as
-    numpy ``astype(uint8)`` does): ``(x - min) / (max - min) * 255``.
+    Matches reference semantics exactly (io/__init__.py:15-31): when the
+    array is constant, the RAW values are truncated to uint8 (a flat slice
+    of 100.0 stays 100, it does not become 0); otherwise
+    ``(x - min) / (max - min) * 255`` with truncation toward zero.
     """
-    scaled = normalize_minmax(arr) * 255.0
-    return scaled.astype(jnp.uint8)
+    arr = arr.astype(jnp.float32)
+    amin = jnp.min(arr)
+    amax = jnp.max(arr)
+    rng = amax - amin
+    scaled = (arr - amin) / jnp.maximum(rng, 1e-12) * 255.0
+    out = jnp.where(rng > 0, scaled, arr)
+    return jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
 
 
 def _source_coords(out_size: int, in_size, dtype=jnp.float32) -> Array:
@@ -148,8 +155,9 @@ def resize_with_padding(image: Array, target_h: int, target_w: int) -> Array:
     """Letterbox a 2D image onto a zero canvas without distortion.
 
     Scales so the image fits inside (target_h, target_w) preserving aspect
-    ratio, centers it, zero-pads the rest, and min-max normalizes to uint8
-    (matching reference crop pipeline output: uint8 PNG crops).
+    ratio, centers it, and zero-pads the rest. Matching the reference
+    (cropping.py:104-146): uint8 inputs keep their pixel values; other
+    dtypes are min-max normalized to uint8 first.
 
     Implemented as a single fused sampling pass: each output pixel either maps
     back into the source image (bilinear sample) or is padding (zero) —
@@ -182,9 +190,15 @@ def resize_with_padding(image: Array, target_h: int, target_w: int) -> Array:
         & (ox < x_off + new_w)
     )
 
-    norm = normalize_minmax(image) * 255.0
-    sampled = bilinear_sample(norm, jnp.broadcast_to(sy, (target_h, target_w)),
-                              jnp.broadcast_to(sx, (target_h, target_w)))
+    if image.dtype == jnp.uint8:
+        source = image.astype(jnp.float32)  # reference keeps uint8 values
+    else:
+        source = normalize_minmax(image) * 255.0
+    sampled = bilinear_sample(
+        source,
+        jnp.broadcast_to(sy, (target_h, target_w)),
+        jnp.broadcast_to(sx, (target_h, target_w)),
+    )
     out = jnp.where(valid, sampled, 0.0)
     return jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
 

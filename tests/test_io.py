@@ -1,0 +1,122 @@
+"""Host I/O: DICOM decode regressions, format round trips, NRRD parsing."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from spine_vision_tpu.io import (
+    read_medical_image,
+    write_medical_image,
+)
+from spine_vision_tpu.io.dicom import DicomFile, _decode_int, read_dicom_series
+from spine_vision_tpu.io.nrrd import read_nrrd
+from spine_vision_tpu.io.types import MedicalImage
+
+
+# ---------------------------------------------------------------------------
+# DICOM value decoding
+# ---------------------------------------------------------------------------
+
+
+def test_decode_int_is_ascii():
+    """IS values are ASCII even at 2 bytes (regression: b'1 ' read as
+    binary uint16 8241 scrambled slice ordering and NumberOfFrames)."""
+    assert _decode_int(b"1 ") == 1
+    assert _decode_int(b"15") == 15
+    assert _decode_int(b"7") == 7
+    assert _decode_int(b"100 ") == 100
+    assert _decode_int(b"-3 ") == -3
+    # Binary fallback only for non-ASCII payloads.
+    assert _decode_int(struct.pack("<H", 513)) == 513
+    assert _decode_int(b"", default=42) == 42
+
+
+# ---------------------------------------------------------------------------
+# Minimal explicit-VR DICOM synthesis -> parse
+# ---------------------------------------------------------------------------
+
+
+def _element(group, elem, vr, value: bytes) -> bytes:
+    head = struct.pack("<HH", group, elem) + vr
+    if vr in (b"OB", b"OW", b"SQ", b"UN", b"UT"):
+        return head + b"\x00\x00" + struct.pack("<I", len(value)) + value
+    return head + struct.pack("<H", len(value)) + value
+
+
+def _write_minimal_dicom(path, instance_number: bytes, pixel_value: int = 7):
+    ts = b"1.2.840.10008.1.2.1\x00"  # explicit VR little endian
+    meta = _element(0x0002, 0x0010, b"UI", ts)
+    rows, cols = 4, 6
+    pixels = np.full((rows, cols), pixel_value, dtype=np.uint16).tobytes()
+    body = b"".join(
+        [
+            _element(0x0008, 0x0060, b"CS", b"MR"),
+            _element(0x0020, 0x000E, b"UI", b"1.2.3\x00"),
+            _element(0x0020, 0x0013, b"IS", instance_number),
+            _element(0x0028, 0x0010, b"US", struct.pack("<H", rows)),
+            _element(0x0028, 0x0011, b"US", struct.pack("<H", cols)),
+            _element(0x0028, 0x0030, b"DS", b"0.5\\0.5 "),
+            _element(0x0028, 0x0100, b"US", struct.pack("<H", 16)),
+            _element(0x0028, 0x0103, b"US", struct.pack("<H", 0)),
+            _element(0x7FE0, 0x0010, b"OW", pixels),
+        ]
+    )
+    path.write_bytes(b"\x00" * 128 + b"DICM" + meta + body)
+
+
+def test_minimal_dicom_parse_and_instance_sort(tmp_path):
+    # Instance numbers 1..3 as 1-2 char IS strings must sort numerically.
+    for i, token in enumerate((b"2 ", b"10", b"1 ")):
+        _write_minimal_dicom(tmp_path / f"s{i}.dcm", token, pixel_value=i + 1)
+    single = DicomFile(tmp_path / "s0.dcm")
+    assert single.instance_number == 2
+    assert single.rows == 4 and single.cols == 6
+    assert single.pixel_array().shape == (4, 6)
+
+    volume = read_dicom_series(tmp_path)
+    assert volume.array.shape == (3, 4, 6)
+    # Sorted by instance number: files with pixel values 3 (inst 1),
+    # 1 (inst 2), 2 (inst 10).
+    assert [int(volume.array[k, 0, 0]) for k in range(3)] == [3, 1, 2]
+
+
+# ---------------------------------------------------------------------------
+# Format round trips
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("suffix", [".mha", ".nrrd", ".nii.gz"])
+def test_write_read_roundtrip(tmp_path, suffix):
+    rng = np.random.default_rng(0)
+    volume = rng.normal(0, 100, (5, 8, 6)).astype(np.float32)
+    image = MedicalImage(
+        array=volume, spacing=(0.7, 0.9, 2.5), origin=(1.0, -2.0, 3.0)
+    )
+    path = tmp_path / f"vol{suffix}"
+    write_medical_image(image, path)
+    back = read_medical_image(path)
+    np.testing.assert_allclose(back.array, volume, rtol=1e-6)
+    np.testing.assert_allclose(back.spacing, image.spacing, rtol=1e-5)
+
+
+def test_nrrd_space_directions_none(tmp_path):
+    """Regression: 'none' tokens for non-spatial axes crashed the parser."""
+    data = np.arange(2 * 4 * 5, dtype=np.float32).reshape(5, 4, 2)
+    header = (
+        "NRRD0004\n"
+        "dimension: 3\n"
+        "sizes: 2 4 5\n"
+        "type: float\n"
+        "encoding: raw\n"
+        "endian: little\n"
+        "space: left-posterior-superior\n"
+        "space directions: none (1.5,0,0) (0,2.5,0)\n"
+        "\n"
+    )
+    path = tmp_path / "seg.nrrd"
+    path.write_bytes(header.encode() + data.tobytes())
+    image = read_nrrd(path)
+    assert image.array.shape == (5, 4, 2)
+    assert image.spacing[0] == pytest.approx(1.5)
+    assert image.spacing[1] == pytest.approx(2.5)

@@ -40,9 +40,13 @@ def test_normalize_to_uint8_matches_reference():
 
 
 def test_normalize_to_uint8_constant_image():
+    # Reference semantics (io/__init__.py:15-31): constant arrays keep their
+    # raw values truncated to uint8, they are NOT zeroed.
     arr = np.full((8, 8), 7.0, dtype=np.float32)
     ours = np.asarray(normalize_to_uint8(jnp.array(arr)))
-    assert ours.max() == 0  # flat image -> zeros (x*0 path)
+    assert ours.min() == 7 and ours.max() == 7
+    big = np.full((4, 4), 300.0, dtype=np.float32)
+    assert np.asarray(normalize_to_uint8(jnp.array(big))).max() == 255
 
 
 def test_bilinear_resize_matches_cv2():

@@ -50,13 +50,16 @@ def test_fast_middle_slice_matches_naive(direction_idx):
     np.testing.assert_allclose(got, np.asarray(want), rtol=1e-4, atol=1e-2)
 
 
-def test_fast_middle_slice_2d_passthrough():
+def test_fast_middle_slice_2d_resamples_in_plane():
+    # 2D inputs are resampled to isotropic pixels too (reference applies the
+    # full isotropic resample to them): rows 10 * 0.8/0.3, cols 12 * 0.5/0.3.
     image = MedicalImage(
         array=np.ones((10, 12), dtype=np.float32), spacing=(0.5, 0.8)
     )
     got, spacing = extract_isotropic_middle_slice(image)
-    assert got.shape == (10, 12)
-    assert spacing == (0.8, 0.5)
+    assert got.shape == (27, 20)
+    assert spacing == (0.3, 0.3)
+    np.testing.assert_allclose(got, 1.0, atol=1e-5)
 
 
 def test_study_input_from_paths(tmp_path):
