@@ -495,34 +495,6 @@ def _build_pipeline(config: ClassificationDatasetConfig) -> SeriesCropPipeline:
     return SeriesCropPipeline(model, state.variables(), config=pipe_config)
 
 
-def load_existing_annotations(csv_path: Path) -> list[ClassificationRecord]:
-    """Read a previously-written annotations.csv
-    (reference classification/__init__.py:85-119)."""
-    if not csv_path.exists():
-        return []
-    records = []
-    with open(csv_path, newline="") as f:
-        for row in csv.DictReader(f):
-            records.append(
-                ClassificationRecord(
-                    image_path=row["image_path"],
-                    patient_id=row["patient_id"],
-                    ivd_level=int(row["ivd_level"]),
-                    series_type=row["series_type"],
-                    source=row["source"],
-                    pfirrmann_grade=int(row["pfirrmann_grade"]),
-                    disc_herniation=int(row["disc_herniation"]),
-                    disc_narrowing=int(row["disc_narrowing"]),
-                    disc_bulging=int(row["disc_bulging"]),
-                    spondylolisthesis=int(row["spondylolisthesis"]),
-                    modic=int(row["modic"]),
-                    up_endplate=int(row["up_endplate"]),
-                    low_endplate=int(row["low_endplate"]),
-                )
-            )
-    return records
-
-
 def log_dataset_summary(records: Iterable[ClassificationRecord]) -> None:
     """Source/series/level summary (reference classification/__init__.py:46-82)."""
     records = list(records)

@@ -388,6 +388,7 @@ def _build_extractor(config: PreprocessConfig) -> DocumentExtractor:
     return DocumentExtractor(
         detector=TextDetector(variables=det_vars),
         recognizer=TextRecognizer(variables=rec_vars),
+        pdf_dpi=config.pdf_dpi,
     )
 
 

@@ -148,7 +148,11 @@ def find_matching_folder(
 
     candidates = []
     for info in folder_map.values():
-        score = fuzz.partial_ratio(patient_name, info.name_part)
+        # Diacritic/case folding on both sides: filename-derived names keep
+        # Vietnamese diacritics while folder names are uppercase ASCII — the
+        # reference compares them raw (matching.py:189-247) and silently
+        # drops every such study; folding is the intended semantics.
+        score = fuzzy_match_score(patient_name, info.name_part)
         if score > threshold:
             candidates.append((score, info))
     if not candidates:
@@ -176,7 +180,7 @@ def find_matching_folder_by_name(
     """Name-only variant (used when no birthday is available)."""
     best: tuple[float, FolderInfo] | None = None
     for info in folder_map.values():
-        score = fuzz.partial_ratio(patient_name, info.name_part)
+        score = fuzzy_match_score(patient_name, info.name_part)
         if score > threshold and (best is None or score > best[0]):
             best = (score, info)
     return best[1].path if best else None

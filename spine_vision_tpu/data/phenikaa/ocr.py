@@ -113,6 +113,11 @@ class TextRecognizer:
         patch_width: int = 256,
         seed: int = 0,
     ) -> None:
+        if patch_height != 32:
+            raise ValueError(
+                "TextRecognitionNet's conv stack pools height 32 -> 1; "
+                f"patch_height={patch_height} would silently discard rows"
+            )
         self.model = TextRecognitionNet()
         self.patch_height = patch_height
         self.patch_width = patch_width
@@ -133,14 +138,23 @@ class TextRecognizer:
         return self._variables
 
     def recognize_batch(self, patches: np.ndarray) -> list[str]:
-        """Recognize a [N, h, w] batch of rectified text patches."""
+        """Recognize a [N, h, w] batch of rectified text patches.
+
+        N is padded to the next power of two so the jitted forward compiles
+        once per bucket instead of once per distinct box count per page.
+        """
         patches = np.asarray(patches, dtype=np.float32)
         if patches.ndim != 3 or patches.shape[0] == 0:
             return []
+        n = patches.shape[0]
+        bucket = 1 << (n - 1).bit_length()
+        if bucket > n:
+            pad = np.zeros((bucket - n, *patches.shape[1:]), dtype=np.float32)
+            patches = np.concatenate([patches, pad])
         batch = jnp.asarray(patches / 255.0)[..., None]
         variables = self._ensure_variables(batch)
         logits = np.asarray(self._forward(variables, batch))
-        return ctc_greedy_decode(logits)
+        return ctc_greedy_decode(logits[:n])
 
 
 class DocumentExtractor:
@@ -153,6 +167,7 @@ class DocumentExtractor:
         recognizer: Recognizer | None = None,
         patch_height: int = 32,
         patch_width: int = 256,
+        pdf_dpi: int = 200,
     ) -> None:
         self.detector = detector or TextDetector()
         self.recognizer = recognizer or TextRecognizer(
@@ -160,6 +175,7 @@ class DocumentExtractor:
         )
         self.patch_height = patch_height
         self.patch_width = patch_width
+        self.pdf_dpi = pdf_dpi
 
     def _rectify(self, image: np.ndarray, quads: np.ndarray) -> np.ndarray:
         """One fused device pass rectifies every detected box."""
@@ -191,11 +207,11 @@ class DocumentExtractor:
             return self.extract_from_pdf(path)
         return self.extract_from_image(np.asarray(Image.open(path)))
 
-    def extract_from_pdf(self, pdf_path: Path, dpi: int = 200) -> list[str]:
+    def extract_from_pdf(self, pdf_path: Path, dpi: int | None = None) -> list[str]:
         """OCR the first page of a PDF."""
         from spine_vision_tpu.io.pdf import pdf_first_page_to_array
 
-        page = pdf_first_page_to_array(pdf_path, dpi=dpi)
+        page = pdf_first_page_to_array(pdf_path, dpi=dpi or self.pdf_dpi)
         if page is None:
             return []
         return self.extract_from_image(page)
@@ -204,13 +220,14 @@ class DocumentExtractor:
         self,
         pdf_path: Path,
         crop_region: tuple[int, int, int, int],
-        dpi: int = 200,
+        dpi: int | None = None,
     ) -> list[str]:
         """OCR a fixed pixel region of a PDF's first page (fast path for
-        known field positions, reference ocr.py:283-323)."""
+        known field positions, reference ocr.py:283-323). The crop region is
+        expressed in 200-DPI pixels (DEFAULT_PDF_ID_CROP_REGION)."""
         from spine_vision_tpu.io.pdf import pdf_first_page_to_array
 
-        page = pdf_first_page_to_array(pdf_path, dpi=dpi)
+        page = pdf_first_page_to_array(pdf_path, dpi=dpi or self.pdf_dpi)
         if page is None:
             return []
         x1, y1, x2, y2 = crop_region

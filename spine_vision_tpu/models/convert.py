@@ -120,16 +120,53 @@ def convert_resnet_state_dict(
     return params, stats
 
 
+def _normalize_convnext_keys(state_dict: Mapping[str, Any]) -> dict[str, Any]:
+    """Rewrite timm ConvNeXt naming to the facebookresearch layout.
+
+    timm: ``stem.{0,1}``, ``stages.{s}.blocks.{b}.{conv_dw,norm,mlp.fc1,
+    mlp.fc2,gamma}``, ``stages.{s}.downsample.{0,1}`` (s>=1), ``head.norm``.
+    fb:   ``downsample_layers.0.{0,1}``, ``stages.{s}.{b}.{dwconv,norm,
+    pwconv1,pwconv2,gamma}``, ``downsample_layers.{s}.{0,1}``, ``norm``.
+    """
+    out: dict[str, Any] = {}
+    for key, value in state_dict.items():
+        new = key
+        if new.startswith("stem.0."):
+            new = new.replace("stem.0.", "downsample_layers.0.0.", 1)
+        elif new.startswith("stem.1."):
+            new = new.replace("stem.1.", "downsample_layers.0.1.", 1)
+        elif ".downsample." in new and new.startswith("stages."):
+            stage = new.split(".")[1]
+            new = new.replace(
+                f"stages.{stage}.downsample.", f"downsample_layers.{stage}.", 1
+            )
+        if ".blocks." in new:
+            new = new.replace(".blocks.", ".", 1)
+        new = (
+            new.replace(".conv_dw.", ".dwconv.")
+            .replace(".mlp.fc1.", ".pwconv1.")
+            .replace(".mlp.fc2.", ".pwconv2.")
+        )
+        if new.startswith("head.norm."):
+            new = new.replace("head.norm.", "norm.", 1)
+        out[new] = value
+    return out
+
+
 def convert_convnext_state_dict(
     state_dict: Mapping[str, Any],
 ) -> dict:
-    """timm/facebookresearch ConvNeXt state dict -> params tree.
+    """timm or facebookresearch ConvNeXt state dict -> params tree.
 
-    Torch names: ``downsample_layers.0.{0,1}`` stem conv+LN,
+    facebookresearch names: ``downsample_layers.0.{0,1}`` stem conv+LN,
     ``downsample_layers.{s}.{0,1}`` LN+conv, ``stages.{s}.{b}.*`` blocks
-    (dwconv, norm, pwconv1/2, [gamma|grn]), final ``norm``. The classifier
-    ``head`` is dropped.
+    (dwconv, norm, pwconv1/2, [gamma|grn]), final ``norm``; timm naming is
+    rewritten to this layout first. The classifier ``head`` is dropped.
+    A conversion that consumes no tensors raises instead of returning an
+    empty tree.
     """
+    if any(".blocks." in k or k.startswith("stem.") for k in state_dict):
+        state_dict = _normalize_convnext_keys(state_dict)
     params: dict = {}
     consumed = 0
 
@@ -204,6 +241,11 @@ def convert_convnext_state_dict(
     total = len(
         [k for k in state_dict if not (k.startswith("head") or k.startswith("fc"))]
     )
+    if consumed == 0:
+        raise ValueError(
+            "ConvNeXt conversion consumed no tensors — unrecognized naming "
+            f"scheme (sample keys: {sorted(state_dict)[:4]})"
+        )
     if consumed != total:
         logger.warning(
             "ConvNeXt conversion consumed %d of %d non-classifier tensors",

@@ -103,39 +103,59 @@ def extract_boxes_from_probmap(
     """
     binary = prob_map >= threshold
     h, w = binary.shape
-    labels = np.zeros((h, w), dtype=np.int32)
-    current = 0
-    # Simple two-pass 4-connected labeling via flood fill (stack-based).
-    for sy in range(h):
-        for sx in range(w):
-            if binary[sy, sx] and labels[sy, sx] == 0:
-                current += 1
-                stack = [(sy, sx)]
-                labels[sy, sx] = current
-                while stack:
-                    cy, cx = stack.pop()
-                    for ny, nx in (
-                        (cy - 1, cx),
-                        (cy + 1, cx),
-                        (cy, cx - 1),
-                        (cy, cx + 1),
-                    ):
-                        if (
-                            0 <= ny < h
-                            and 0 <= nx < w
-                            and binary[ny, nx]
-                            and labels[ny, nx] == 0
+    try:
+        import cv2
+
+        current, labels, stats, _ = cv2.connectedComponentsWithStats(
+            binary.astype(np.uint8), connectivity=4
+        )
+        current -= 1  # component 0 is background
+        boxes = [
+            (
+                stats[label, cv2.CC_STAT_LEFT],
+                stats[label, cv2.CC_STAT_LEFT] + stats[label, cv2.CC_STAT_WIDTH],
+                stats[label, cv2.CC_STAT_TOP],
+                stats[label, cv2.CC_STAT_TOP] + stats[label, cv2.CC_STAT_HEIGHT],
+                stats[label, cv2.CC_STAT_AREA],
+            )
+            for label in range(1, current + 1)
+        ]
+    except ImportError:  # pure-Python fallback (slow on full pages)
+        labels = np.zeros((h, w), dtype=np.int32)
+        current = 0
+        for sy in range(h):
+            for sx in range(w):
+                if binary[sy, sx] and labels[sy, sx] == 0:
+                    current += 1
+                    stack = [(sy, sx)]
+                    labels[sy, sx] = current
+                    while stack:
+                        cy, cx = stack.pop()
+                        for ny, nx in (
+                            (cy - 1, cx),
+                            (cy + 1, cx),
+                            (cy, cx - 1),
+                            (cy, cx + 1),
                         ):
-                            labels[ny, nx] = current
-                            stack.append((ny, nx))
+                            if (
+                                0 <= ny < h
+                                and 0 <= nx < w
+                                and binary[ny, nx]
+                                and labels[ny, nx] == 0
+                            ):
+                                labels[ny, nx] = current
+                                stack.append((ny, nx))
+        boxes = []
+        for label in range(1, current + 1):
+            ys, xs = np.nonzero(labels == label)
+            boxes.append(
+                (xs.min(), xs.max() + 1, ys.min(), ys.max() + 1, ys.size)
+            )
 
     quads = []
-    for label in range(1, current + 1):
-        ys, xs = np.nonzero(labels == label)
-        if ys.size < min_area:
+    for x1, x2, y1, y2, area in boxes:
+        if area < min_area:
             continue
-        x1, x2 = xs.min(), xs.max() + 1
-        y1, y2 = ys.min(), ys.max() + 1
         cx, cy = (x1 + x2) / 2.0, (y1 + y2) / 2.0
         half_w = (x2 - x1) / 2.0 * unclip_ratio
         half_h = (y2 - y1) / 2.0 * unclip_ratio

@@ -140,9 +140,8 @@ def plot_confusion_matrix_with_samples(
     names = _class_names(label)
     n = len(names)
     pred_classes = _decode(predictions)
+    # Targets arrive already 0-indexed (pfirrmann included) upstream.
     target_classes = np.asarray(targets).reshape(-1).astype(int)
-    if get_task(label).name == "pfirrmann":
-        pass  # targets already 0-indexed upstream
     cm = _confusion_matrix(pred_classes, target_classes, n)
 
     cell = 2.2

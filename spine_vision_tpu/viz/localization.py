@@ -24,6 +24,11 @@ def plot_localization_predictions(
 ) -> "plt.Figure":
     """GT-vs-prediction overlay grid: green = target, red = prediction."""
     n = min(len(images), len(predictions), max_samples)
+    if n == 0:
+        fig, ax = plt.subplots(figsize=(4, 3))
+        ax.axis("off")
+        ax.set_title("No samples")
+        return fig
     cols = max(1, min(cols, n))
     rows = (n + cols - 1) // cols
     fig, axes = plt.subplots(rows, cols, figsize=(cols * 3, rows * 3))
@@ -81,8 +86,15 @@ def plot_error_distribution(
     axes[0].set_title("Error distribution")
 
     if levels is not None:
-        names = level_names or [str(i) for i in np.unique(levels)]
-        data = [distances[levels == i] for i in range(len(names))]
+        # Pair labels with the actual level VALUES present — indexing by
+        # range(len(names)) mislabels boxes when values are non-contiguous.
+        if level_names is not None:
+            unique_values = list(range(len(level_names)))
+            names = level_names
+        else:
+            unique_values = [int(v) for v in np.unique(levels)]
+            names = [str(v) for v in unique_values]
+        data = [distances[levels == v] for v in unique_values]
         data = [d if d.size else np.array([0.0]) for d in data]
         axes[1].boxplot(data, labels=names)
         axes[1].set_ylabel("Error")

@@ -150,3 +150,40 @@ def test_conv_transpose_convention_numeric():
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     np.testing.assert_allclose(np.asarray(jax_out), torch_out, rtol=1e-4, atol=1e-4)
+
+
+def test_convnext_timm_naming_converts():
+    """timm naming (stem.X, stages.S.blocks.B.conv_dw/mlp.fcN) must convert
+    identically to facebookresearch naming."""
+    fb_sd = _synth_convnext_tiny_torch_sd()
+    timm_sd = {}
+    for key, value in fb_sd.items():
+        new = key
+        if new.startswith("downsample_layers.0.0."):
+            new = new.replace("downsample_layers.0.0.", "stem.0.")
+        elif new.startswith("downsample_layers.0.1."):
+            new = new.replace("downsample_layers.0.1.", "stem.1.")
+        elif new.startswith("downsample_layers."):
+            s = new.split(".")[1]
+            new = new.replace(f"downsample_layers.{s}.", f"stages.{s}.downsample.")
+        elif new.startswith("stages."):
+            parts = new.split(".")
+            rest = ".".join(parts[3:])
+            rest = (
+                rest.replace("dwconv.", "conv_dw.")
+                .replace("pwconv1.", "mlp.fc1.")
+                .replace("pwconv2.", "mlp.fc2.")
+            )
+            new = f"stages.{parts[1]}.blocks.{parts[2]}.{rest}"
+        elif new.startswith("norm."):
+            new = new.replace("norm.", "head.norm.")
+        timm_sd[new] = value
+
+    params_fb = convert_convnext_state_dict(fb_sd)
+    params_timm = convert_convnext_state_dict(timm_sd)
+    assert _tree_shapes(params_fb) == _tree_shapes(params_timm)
+
+
+def test_convnext_unknown_naming_raises():
+    with pytest.raises(ValueError, match="consumed no tensors"):
+        convert_convnext_state_dict({"foo.bar": torch.zeros(3)})

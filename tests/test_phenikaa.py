@@ -245,3 +245,12 @@ def test_registry_dispatch(tmp_path):
     assert not procs[0].can_process(patient_named)
     assert procs[1].can_process(patient_named)
     assert not procs[1].can_process(weird)
+
+
+def test_find_matching_folder_folds_diacritics(tmp_path):
+    """Filename-derived names keep diacritics; folder names are uppercase
+    ASCII — matching must fold both sides (regression)."""
+    (tmp_path / "BUI_THI_DUNG_1985_20240101").mkdir()
+    folder_map = build_folder_lookup(tmp_path)
+    match = find_matching_folder("BùiThịDung", "02/03/1985", folder_map)
+    assert match is not None and match.name == "BUI_THI_DUNG_1985_20240101"
