@@ -96,7 +96,7 @@ def plot_error_distribution(
             names = [str(v) for v in unique_values]
         data = [distances[levels == v] for v in unique_values]
         data = [d if d.size else np.array([0.0]) for d in data]
-        axes[1].boxplot(data, labels=names)
+        axes[1].boxplot(data, tick_labels=names)
         axes[1].set_ylabel("Error")
         axes[1].set_title("Error by level")
         axes[1].tick_params(axis="x", rotation=45)
