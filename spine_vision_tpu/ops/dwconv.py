@@ -142,6 +142,127 @@ def depthwise_conv7x7(
     return out[:, :h]
 
 
+def _make_dw_ln_kernel(num_tiles: int, eps: float):
+    """Double-buffered dwconv + bias + channel LayerNorm fusion."""
+
+    def kernel(x_hbm, k_ref, bias_ref, scale_ref, beta_ref, out_ref, tiles, sems):
+        _, th, w, _ = out_ref.shape
+        g = pl.program_id(0)
+        total = pl.num_programs(0)
+
+        def start_dma(step, slot):
+            i = step // num_tiles
+            j = step % num_tiles
+            return pltpu.make_async_copy(
+                x_hbm.at[i, pl.ds(j * th, th + 2 * PAD), :, :],
+                tiles.at[slot],
+                sems.at[slot],
+            )
+
+        @pl.when(g == 0)
+        def _():
+            start_dma(0, 0).start()
+
+        @pl.when(g + 1 < total)
+        def _():
+            start_dma(g + 1, (g + 1) % 2).start()
+
+        start_dma(g, g % 2).wait()
+        tile = tiles[g % 2]
+
+        acc = jnp.zeros(out_ref.shape[1:], jnp.float32)
+        for dx in range(KERNEL_SIZE):
+            col = tile[0:th, :, :].astype(jnp.float32) * k_ref[dx, :].astype(
+                jnp.float32
+            )
+            for dy in range(1, KERNEL_SIZE):
+                col = col + tile[dy : dy + th, :, :].astype(
+                    jnp.float32
+                ) * k_ref[dy * KERNEL_SIZE + dx, :].astype(jnp.float32)
+            acc = acc + col[:, dx : dx + w, :]
+        acc = acc + bias_ref[0, :].astype(jnp.float32)
+
+        # Channel LayerNorm fused in-register (saves a full HBM round trip
+        # of the dwconv output).
+        mu = jnp.mean(acc, axis=-1, keepdims=True)
+        centered = acc - mu
+        var = jnp.mean(centered * centered, axis=-1, keepdims=True)
+        normed = centered * jax.lax.rsqrt(var + eps)
+        out = normed * scale_ref[0, :].astype(jnp.float32) + beta_ref[
+            0, :
+        ].astype(jnp.float32)
+        out_ref[0] = out.astype(out_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_h", "eps", "interpret")
+)
+def depthwise_conv7x7_ln(
+    x: Array,
+    kernel: Array,
+    bias: Array,
+    ln_scale: Array,
+    ln_bias: Array,
+    tile_h: int = 32,
+    eps: float = 1e-6,
+    interpret: bool = False,
+) -> Array:
+    """Fused ``LayerNorm(dwconv7x7(x) + bias)`` (the ConvNeXt block prefix).
+
+    Same stencil as :func:`depthwise_conv7x7` with the channel LayerNorm
+    folded into the kernel, eliminating the intermediate dwconv output's
+    HBM round trip that XLA's custom-call boundary would otherwise force.
+    """
+    b, h, w, c = x.shape
+    padded_w = ((w + 2 * PAD + 7) // 8) * 8
+    th = min(tile_h, h)
+    while th > 8 and (th + 2 * PAD) * padded_w * c * 4 > 2 * 1024 * 1024:
+        th //= 2
+    num_tiles = (h + th - 1) // th
+    padded_h = num_tiles * th
+
+    xp = jnp.pad(
+        x,
+        (
+            (0, 0),
+            (PAD, PAD + padded_h - h),
+            (PAD, padded_w - w - PAD),
+            (0, 0),
+        ),
+    )
+    k2 = kernel.reshape(KERNEL_SIZE * KERNEL_SIZE, c)
+
+    out = pl.pallas_call(
+        _make_dw_ln_kernel(num_tiles, eps),
+        grid=(b * num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(
+                (KERNEL_SIZE * KERNEL_SIZE, c),
+                lambda g: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, c), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda g: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, w, c),
+            lambda g: (g // num_tiles, g % num_tiles, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, padded_h, w, c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, th + 2 * PAD, padded_w, c), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xp, k2, bias.reshape(1, c), ln_scale.reshape(1, c), ln_bias.reshape(1, c))
+    return out[:, :h]
+
+
 def depthwise_conv7x7_reference(x: Array, kernel: Array) -> Array:
     """lax grouped-conv reference (for parity tests and non-TPU fallback)."""
     c = x.shape[-1]

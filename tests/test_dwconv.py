@@ -28,3 +28,22 @@ def test_non_tile_multiple_height():
     want = depthwise_conv7x7_reference(x, k)
     assert got.shape == x.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_fused_dwconv_ln_matches_composition():
+    import jax
+
+    from spine_vision_tpu.ops.dwconv import depthwise_conv7x7_ln
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 16, 12, 128)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(7, 7, 128)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(128,)), jnp.float32)
+    scale = jnp.asarray(rng.normal(size=(128,)) + 1.0, jnp.float32)
+    beta = jnp.asarray(rng.normal(size=(128,)), jnp.float32)
+    got = depthwise_conv7x7_ln(x, k, b, scale, beta, tile_h=8, interpret=True)
+    y = depthwise_conv7x7_reference(x, k) + b
+    mu = jnp.mean(y, -1, keepdims=True)
+    var = jnp.var(y, -1, keepdims=True)
+    want = (y - mu) * jax.lax.rsqrt(var + 1e-6) * scale + beta
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
