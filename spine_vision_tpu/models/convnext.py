@@ -94,6 +94,21 @@ class _DwConvParams(nn.Module):
         return kernel, bias
 
 
+class _DenseParams(nn.Module):
+    """Param holder matching nn.Dense's tree (kernel [in,out] + bias)."""
+
+    in_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self) -> tuple[Array, Array]:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.in_dim, self.out_dim)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.out_dim,))
+        return kernel, bias
+
+
 class _LayerNormParams(nn.Module):
     """Param holder matching nn.LayerNorm's tree (scale + bias)."""
 
@@ -114,6 +129,7 @@ class ConvNeXtBlock(nn.Module):
     layer_scale_init: float
     dtype: Any = jnp.float32
     use_pallas_dwconv: bool = False
+    use_pallas_mlp: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -146,6 +162,44 @@ class ConvNeXtBlock(nn.Module):
             )(x)
             y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(y)
         y = y.astype(self.dtype)
+
+        from spine_vision_tpu.ops.fused_mlp import MAX_FUSED_DIM
+
+        if self.use_pallas_mlp and not self.use_grn and self.dim <= MAX_FUSED_DIM:
+            # Fused Pallas MLP+LayerScale+residual (ops.fused_mlp): the 4C
+            # hidden stays in VMEM and the block tail is absorbed so no
+            # standalone elementwise pass trails the custom call. Param tree
+            # identical to the nn.Dense pair + gamma, so checkpoints are
+            # interchangeable with the flag off. GRN (v2) and C=1024 fall
+            # back to the XLA path.
+            import jax
+
+            from spine_vision_tpu.ops.fused_mlp import fused_mlp
+
+            w1, b1 = _DenseParams(self.dim, 4 * self.dim, name="pwconv1")()
+            w2, b2 = _DenseParams(4 * self.dim, self.dim, name="pwconv2")()
+            gamma = (
+                self.param(
+                    "gamma",
+                    nn.initializers.constant(self.layer_scale_init),
+                    (self.dim,),
+                )
+                if self.layer_scale_init > 0
+                else None
+            )
+            b, hgt, wid, c = y.shape
+            out = fused_mlp(
+                y.reshape(b * hgt * wid, c),
+                w1.astype(self.dtype),
+                b1,
+                w2.astype(self.dtype),
+                b2,
+                gamma=gamma,
+                residual=residual.astype(self.dtype).reshape(b * hgt * wid, c),
+                interpret=jax.default_backend() == "cpu",
+            )
+            return out.reshape(b, hgt, wid, c)
+
         y = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(y)
         y = nn.gelu(y, approximate=False)
         if self.use_grn:
@@ -171,6 +225,7 @@ class ConvNeXt(nn.Module):
     config: ConvNeXtConfig
     dtype: Any = jnp.float32
     use_pallas_dwconv: bool = False
+    use_pallas_mlp: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -202,6 +257,7 @@ class ConvNeXt(nn.Module):
                     layer_scale_init=cfg.layer_scale_init,
                     dtype=self.dtype,
                     use_pallas_dwconv=self.use_pallas_dwconv,
+                    use_pallas_mlp=self.use_pallas_mlp,
                     name=f"stage{stage_idx + 1}_block{block_idx + 1}",
                 )(x)
 
