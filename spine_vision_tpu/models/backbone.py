@@ -101,6 +101,7 @@ class BackboneFactory:
         pretrained: bool = False,
         dtype: Any = jnp.bfloat16,
         axis_name: str | None = None,
+        use_pallas: bool = False,
     ) -> tuple[nn.Module, int]:
         """Create a backbone module.
 
@@ -111,6 +112,10 @@ class BackboneFactory:
             dtype: Compute dtype (bf16 default — TPU MXU native).
             axis_name: Optional mesh axis for cross-device BatchNorm sync
                 (ResNet/EfficientNet families).
+            use_pallas: Enable the fused Pallas forward kernels where a
+                family has them (ConvNeXt dwconv+LN and MLP+tail; measured
+                1.66x on v5e — see AGENTS.md). Inference-only: the kernels
+                define no VJP, so keep False for training.
 
         Returns:
             (module, feature_dim).
@@ -127,7 +132,12 @@ class BackboneFactory:
             dim = config.num_features
         elif family == "convnext":
             cn_config = CONVNEXT_CONFIGS[variant]
-            module = ConvNeXt(config=cn_config, dtype=dtype)
+            module = ConvNeXt(
+                config=cn_config,
+                dtype=dtype,
+                use_pallas_dwconv=use_pallas,
+                use_pallas_mlp=use_pallas,
+            )
             dim = cn_config.num_features
         elif family == "vit":
             vit_config = VIT_CONFIGS[variant]

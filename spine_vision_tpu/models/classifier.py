@@ -44,12 +44,16 @@ class Classifier(nn.Module):
     dropout: float = 0.3
     dtype: Any = jnp.bfloat16
     axis_name: str | None = None
+    use_pallas: bool = False  # fused inference kernels (no VJP) — see backbone.py
 
     def setup(self) -> None:
         tasks = self.tasks or tuple(get_tasks())
         self._task_list = tasks
         self.backbone, self.feature_dim = BackboneFactory.create(
-            self.backbone_name, dtype=self.dtype, axis_name=self.axis_name
+            self.backbone_name,
+            dtype=self.dtype,
+            axis_name=self.axis_name,
+            use_pallas=self.use_pallas,
         )
         self.dropout_layer = nn.Dropout(self.dropout)
         self.heads = {
@@ -139,10 +143,14 @@ class CoordinateRegressor(nn.Module):
     head_config: HeadConfig | None = None
     dtype: Any = jnp.bfloat16
     axis_name: str | None = None
+    use_pallas: bool = False  # fused inference kernels (no VJP) — see backbone.py
 
     def setup(self) -> None:
         self.backbone, self.feature_dim = BackboneFactory.create(
-            self.backbone_name, dtype=self.dtype, axis_name=self.axis_name
+            self.backbone_name,
+            dtype=self.dtype,
+            axis_name=self.axis_name,
+            use_pallas=self.use_pallas,
         )
         total_outputs = self.num_levels * self.num_outputs
         if self.head_config is not None:
