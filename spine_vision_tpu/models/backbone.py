@@ -101,7 +101,7 @@ class BackboneFactory:
         pretrained: bool = False,
         dtype: Any = jnp.bfloat16,
         axis_name: str | None = None,
-        use_pallas: bool = False,
+        use_pallas: bool | str = False,
     ) -> tuple[nn.Module, int]:
         """Create a backbone module.
 
@@ -112,10 +112,12 @@ class BackboneFactory:
             dtype: Compute dtype (bf16 default — TPU MXU native).
             axis_name: Optional mesh axis for cross-device BatchNorm sync
                 (ResNet/EfficientNet families).
-            use_pallas: Enable the fused Pallas forward kernels where a
-                family has them (ConvNeXt dwconv+LN and MLP+tail; measured
-                1.66x on v5e — see AGENTS.md). Inference-only: the kernels
-                define no VJP, so keep False for training.
+            use_pallas: Enable the fused Pallas kernels where a family has
+                them (ConvNeXt). True = all (dwconv+LN and MLP+tail; 1.66x
+                forward on v5e — see AGENTS.md) but INFERENCE-ONLY (the
+                dwconv kernel defines no VJP). "mlp" = just the fused MLP,
+                which carries a custom VJP (backward recomputes the hidden)
+                and is safe for training (+4% train step measured).
 
         Returns:
             (module, feature_dim).
@@ -135,8 +137,8 @@ class BackboneFactory:
             module = ConvNeXt(
                 config=cn_config,
                 dtype=dtype,
-                use_pallas_dwconv=use_pallas,
-                use_pallas_mlp=use_pallas,
+                use_pallas_dwconv=use_pallas is True,
+                use_pallas_mlp=bool(use_pallas),
             )
             dim = cn_config.num_features
         elif family == "vit":

@@ -82,35 +82,18 @@ def _mlp_tail_kernel(
     out_ref[:] = out.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_m", "interpret"))
-def fused_mlp(
+def _pallas_mlp(
     x: Array,
     w1: Array,
     b1: Array,
     w2: Array,
     b2: Array,
-    gamma: Array | None = None,
-    residual: Array | None = None,
-    tile_m: int | None = None,
-    interpret: bool = False,
+    gamma: Array | None,
+    residual: Array | None,
+    tile_m: int | None,
+    interpret: bool,
 ) -> Array:
-    """``gelu(x @ w1 + b1) @ w2 + b2``, hidden kept in VMEM.
-
-    With ``gamma``/``residual`` the full ConvNeXt block tail is absorbed:
-    ``residual + gamma * mlp(x)`` (gamma defaults to ones, residual to zero —
-    both must be given together in the block use-case but are independent).
-
-    Args:
-        x: [M, C] tokens (any leading shape flattened by the caller).
-        w1: [C, H]; b1: [H]; w2: [H, C]; b2: [C].
-        gamma: optional [C] LayerScale.
-        residual: optional [M, C] tensor added to the (scaled) output.
-        tile_m: Tokens per grid step; defaults to the measured-best for C.
-        interpret: Interpreter mode (CPU tests).
-
-    Returns:
-        [M, C], dtype of ``x``.
-    """
+    """Dispatch to the pallas_call (no autodiff). See fused_mlp."""
     m, c = x.shape
     h = w1.shape[1]
     if tile_m is None:
@@ -141,9 +124,7 @@ def fused_mlp(
         args.append(
             (gamma if gamma is not None else jnp.ones((c,), x.dtype)).reshape(1, c)
         )
-        args.append(
-            residual if residual is not None else jnp.zeros_like(x)
-        )
+        args.append(residual if residual is not None else jnp.zeros_like(x))
     else:
         kernel = _mlp_kernel
 
@@ -156,6 +137,85 @@ def fused_mlp(
         interpret=interpret,
     )(*args)
     return out[:m]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _fused_mlp_ad(
+    x: Array,
+    w1: Array,
+    b1: Array,
+    w2: Array,
+    b2: Array,
+    gamma: Array,
+    residual: Array,
+    tile_m: int | None,
+    interpret: bool,
+) -> Array:
+    """Differentiable fused MLP tail: forward = Pallas, backward = XLA
+    recompute (checkpoint-style: only the primal inputs are saved; the 4C
+    hidden is recomputed in the backward pass, trading two cheap MXU
+    matmuls for not storing/reloading the hidden through HBM)."""
+    return _pallas_mlp(x, w1, b1, w2, b2, gamma, residual, tile_m, interpret)
+
+
+def _fused_mlp_fwd(x, w1, b1, w2, b2, gamma, residual, tile_m, interpret):
+    out = _pallas_mlp(x, w1, b1, w2, b2, gamma, residual, tile_m, interpret)
+    return out, (x, w1, b1, w2, b2, gamma, residual)
+
+
+def _fused_mlp_bwd(tile_m, interpret, saved, g):
+    x, w1, b1, w2, b2, gamma, residual = saved
+    _, vjp = jax.vjp(mlp_reference, x, w1, b1, w2, b2, gamma, residual)
+    return vjp(g)
+
+
+_fused_mlp_ad.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_m", "interpret"))
+def fused_mlp(
+    x: Array,
+    w1: Array,
+    b1: Array,
+    w2: Array,
+    b2: Array,
+    gamma: Array | None = None,
+    residual: Array | None = None,
+    tile_m: int | None = None,
+    interpret: bool = False,
+) -> Array:
+    """``gelu(x @ w1 + b1) @ w2 + b2``, hidden kept in VMEM.
+
+    With ``gamma``/``residual`` the full ConvNeXt block tail is absorbed:
+    ``residual + gamma * mlp(x)`` (gamma defaults to ones, residual to zero —
+    both must be given together in the block use-case but are independent).
+
+    Args:
+        x: [M, C] tokens (any leading shape flattened by the caller).
+        w1: [C, H]; b1: [H]; w2: [H, C]; b2: [C].
+        gamma: optional [C] LayerScale.
+        residual: optional [M, C] tensor added to the (scaled) output.
+        tile_m: Tokens per grid step; defaults to the measured-best for C.
+        interpret: Interpreter mode (CPU tests).
+
+    Returns:
+        [M, C], dtype of ``x``.
+    """
+    if gamma is not None or residual is not None:
+        # Differentiable tail variant (custom VJP, backward recomputes).
+        c = x.shape[1]
+        return _fused_mlp_ad(
+            x,
+            w1,
+            b1,
+            w2,
+            b2,
+            gamma if gamma is not None else jnp.ones((c,), x.dtype),
+            residual if residual is not None else jnp.zeros_like(x),
+            tile_m,
+            interpret,
+        )
+    return _pallas_mlp(x, w1, b1, w2, b2, None, None, tile_m, interpret)
 
 
 def mlp_reference(

@@ -45,6 +45,11 @@ class LocalizationConfig(TrainingConfig):
     image_size: tuple[int, int] = (512, 512)
     augment: bool = True
 
+    use_pallas_mlp: bool = False
+    """Use the fused Pallas ConvNeXt-MLP kernel (custom VJP) in training.
+    TPU-only (+4% measured train step for convnext_base@512); no effect on
+    non-ConvNeXt backbones. Checkpoints are interchangeable either way."""
+
     pck_thresholds: list[float] = [0.02, 0.05, 0.10]
     visualize_predictions: bool = True
     num_visualization_samples: int = 16
@@ -68,6 +73,7 @@ class LocalizationTrainer(BaseTrainer[LocalizationConfig]):
                 num_levels=config.num_levels,
                 dropout=config.dropout,
                 dtype=jnp.bfloat16 if config.mixed_precision else jnp.float32,
+                use_pallas="mlp" if config.use_pallas_mlp else False,
             )
         if train_dataset is None:
             train_dataset = LocalizationDataset(

@@ -84,3 +84,69 @@ def test_convnext_flags_match_xla_path():
         variables, x
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3)
+
+
+def test_gradients_match_reference():
+    """custom-VJP path: grads of the fused kernel match jax.grad of XLA."""
+    import jax
+
+    rng = np.random.default_rng(5)
+    m, c = 192, 128
+    args = (
+        jnp.asarray(rng.normal(size=(m, c)), jnp.float32),
+        jnp.asarray(rng.normal(size=(c, 4 * c)) * 0.05, jnp.float32),
+        jnp.asarray(rng.normal(size=(4 * c,)), jnp.float32),
+        jnp.asarray(rng.normal(size=(4 * c, c)) * 0.05, jnp.float32),
+        jnp.asarray(rng.normal(size=(c,)), jnp.float32),
+        jnp.asarray(rng.normal(size=(c,)) * 1e-2, jnp.float32),
+        jnp.asarray(rng.normal(size=(m, c)), jnp.float32),
+    )
+
+    def loss_fused(*a):
+        out = fused_mlp(
+            a[0], a[1], a[2], a[3], a[4], gamma=a[5], residual=a[6],
+            tile_m=128, interpret=True,
+        )
+        return jnp.sum(out * out)
+
+    def loss_ref(*a):
+        out = mlp_reference(a[0], a[1], a[2], a[3], a[4], gamma=a[5], residual=a[6])
+        return jnp.sum(out * out)
+
+    got = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
+    want = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+    for i, (ga, wa) in enumerate(zip(got, want)):
+        np.testing.assert_allclose(
+            np.asarray(ga), np.asarray(wa), atol=5e-3, rtol=1e-4,
+            err_msg=f"grad mismatch for arg {i}",
+        )
+
+
+def test_convnext_grads_with_pallas_mlp():
+    """Model-level grads with use_pallas_mlp=True match the XLA path."""
+    import jax
+
+    from spine_vision_tpu.models.convnext import ConvNeXt, ConvNeXtConfig
+
+    cfg = ConvNeXtConfig(depths=(1,), dims=(128,))
+    x = jnp.asarray(
+        np.random.default_rng(6).normal(size=(2, 16, 16, 3)), jnp.float32
+    )
+    ref_model = ConvNeXt(config=cfg)
+    variables = ref_model.init(jax.random.key(0), x)
+    pallas_model = ConvNeXt(config=cfg, use_pallas_mlp=True)
+
+    def loss(model, params):
+        out = model.apply({"params": params}, x)
+        return jnp.sum(out * out)
+
+    g_ref = jax.grad(lambda p: loss(ref_model, p))(variables["params"])
+    g_pal = jax.grad(lambda p: loss(pallas_model, p))(variables["params"])
+    flat_ref = jax.tree.leaves_with_path(g_ref)
+    flat_pal = dict(jax.tree.leaves_with_path(g_pal))
+    assert len(flat_ref) == len(flat_pal)
+    for path, leaf in flat_ref:
+        np.testing.assert_allclose(
+            np.asarray(flat_pal[path]), np.asarray(leaf), atol=1e-3, rtol=1e-3,
+            err_msg=f"grad mismatch at {path}",
+        )
