@@ -114,10 +114,10 @@ class BackboneFactory:
                 (ResNet/EfficientNet families).
             use_pallas: Enable the fused Pallas kernels where a family has
                 them (ConvNeXt). True = all (dwconv+LN and MLP+tail; 1.66x
-                forward on v5e — see AGENTS.md) but INFERENCE-ONLY (the
-                dwconv kernel defines no VJP). "mlp" = just the fused MLP,
-                which carries a custom VJP (backward recomputes the hidden)
-                and is safe for training (+4% train step measured).
+                forward on v5e — see AGENTS.md); "mlp" = just the fused
+                MLP. Both kernels carry custom VJPs (backward recomputes
+                via XLA), so either setting is trainable (+4% measured
+                train step for convnext_base@512).
 
         Returns:
             (module, feature_dim).

@@ -196,9 +196,59 @@ def _make_dw_ln_kernel(num_tiles: int, eps: float):
     return kernel
 
 
-@functools.partial(
-    jax.jit, static_argnames=("tile_h", "eps", "interpret")
-)
+def _dw_ln_reference(
+    x: Array,
+    kernel: Array,
+    bias: Array,
+    ln_scale: Array,
+    ln_bias: Array,
+    eps: float,
+) -> Array:
+    """XLA composition ``LayerNorm(dwconv7x7(x) + bias)`` (bwd recompute)."""
+    y = depthwise_conv7x7_reference(x, kernel) + bias
+    yf = y.astype(jnp.float32)
+    mu = jnp.mean(yf, axis=-1, keepdims=True)
+    var = jnp.var(yf, axis=-1, keepdims=True)
+    out = (yf - mu) * jax.lax.rsqrt(var + eps) * ln_scale.astype(
+        jnp.float32
+    ) + ln_bias.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _dw_ln_ad(
+    x: Array,
+    kernel: Array,
+    bias: Array,
+    ln_scale: Array,
+    ln_bias: Array,
+    tile_h: int,
+    eps: float,
+    interpret: bool,
+) -> Array:
+    """Differentiable fused dwconv+LN: forward = Pallas, backward = XLA
+    recompute (only the primal inputs are saved; the conv intermediate is
+    recomputed in the backward pass instead of round-tripping HBM)."""
+    return _dw_ln_pallas(x, kernel, bias, ln_scale, ln_bias, tile_h, eps, interpret)
+
+
+def _dw_ln_fwd(x, kernel, bias, ln_scale, ln_bias, tile_h, eps, interpret):
+    out = _dw_ln_pallas(x, kernel, bias, ln_scale, ln_bias, tile_h, eps, interpret)
+    return out, (x, kernel, bias, ln_scale, ln_bias)
+
+
+def _dw_ln_bwd(tile_h, eps, interpret, saved, g):
+    x, kernel, bias, ln_scale, ln_bias = saved
+    _, vjp = jax.vjp(
+        lambda *a: _dw_ln_reference(*a, eps), x, kernel, bias, ln_scale, ln_bias
+    )
+    return vjp(g)
+
+
+_dw_ln_ad.defvjp(_dw_ln_fwd, _dw_ln_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_h", "eps", "interpret"))
 def depthwise_conv7x7_ln(
     x: Array,
     kernel: Array,
@@ -214,7 +264,23 @@ def depthwise_conv7x7_ln(
     Same stencil as :func:`depthwise_conv7x7` with the channel LayerNorm
     folded into the kernel, eliminating the intermediate dwconv output's
     HBM round trip that XLA's custom-call boundary would otherwise force.
+    Differentiable: a custom VJP recomputes via the XLA reference in the
+    backward pass (same pattern as ops.fused_mlp).
     """
+    return _dw_ln_ad(x, kernel, bias, ln_scale, ln_bias, tile_h, eps, interpret)
+
+
+def _dw_ln_pallas(
+    x: Array,
+    kernel: Array,
+    bias: Array,
+    ln_scale: Array,
+    ln_bias: Array,
+    tile_h: int = 32,
+    eps: float = 1e-6,
+    interpret: bool = False,
+) -> Array:
+    """pallas_call dispatch for :func:`depthwise_conv7x7_ln` (no autodiff)."""
     b, h, w, c = x.shape
     padded_w = ((w + 2 * PAD + 7) // 8) * 8
     th = min(tile_h, h)

@@ -47,3 +47,36 @@ def test_fused_dwconv_ln_matches_composition():
     var = jnp.var(y, -1, keepdims=True)
     want = (y - mu) * jax.lax.rsqrt(var + 1e-6) * scale + beta
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_fused_dwconv_ln_gradients_match_reference():
+    """custom-VJP: grads of the fused dwconv+LN match jax.grad of XLA."""
+    import jax
+
+    from spine_vision_tpu.ops.dwconv import depthwise_conv7x7_ln
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 128)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(7, 7, 128)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(128,)), jnp.float32)
+    scale = jnp.asarray(rng.normal(size=(128,)) + 1.0, jnp.float32)
+    beta = jnp.asarray(rng.normal(size=(128,)), jnp.float32)
+
+    def loss_fused(x, k, b, scale, beta):
+        out = depthwise_conv7x7_ln(x, k, b, scale, beta, tile_h=8, interpret=True)
+        return jnp.sum(out * out)
+
+    def loss_ref(x, k, b, scale, beta):
+        y = depthwise_conv7x7_reference(x, k) + b
+        mu = jnp.mean(y, -1, keepdims=True)
+        var = jnp.var(y, -1, keepdims=True)
+        out = (y - mu) * jax.lax.rsqrt(var + 1e-6) * scale + beta
+        return jnp.sum(out * out)
+
+    got = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(x, k, b, scale, beta)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, k, b, scale, beta)
+    for i, (ga, wa) in enumerate(zip(got, want)):
+        np.testing.assert_allclose(
+            np.asarray(ga), np.asarray(wa), atol=5e-3, rtol=1e-4,
+            err_msg=f"grad mismatch for arg {i}",
+        )
