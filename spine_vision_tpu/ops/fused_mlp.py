@@ -201,6 +201,9 @@ def fused_mlp(
     Returns:
         [M, C], dtype of ``x``.
     """
+    if x.shape[1] > MAX_FUSED_DIM:
+        # Weights would not fit VMEM (scoped-vmem OOM) — XLA composition.
+        return mlp_reference(x, w1, b1, w2, b2, gamma, residual)
     if gamma is not None or residual is not None:
         # Differentiable tail variant (custom VJP, backward recomputes).
         c = x.shape[1]

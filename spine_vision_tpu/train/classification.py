@@ -94,6 +94,14 @@ class ClassificationConfig(TrainingConfig):
     output_size: tuple[int, int] = (256, 256)
     augment: bool = True
 
+    use_pallas_mlp: bool = False
+    """Fused Pallas ConvNeXt-MLP kernel (custom VJP) — TPU-only, no effect
+    on non-ConvNeXt backbones. See LocalizationConfig.use_pallas_mlp."""
+
+    use_pallas_mlp: bool = False
+    """Fused Pallas ConvNeXt-MLP kernel (custom VJP) — TPU-only, no effect
+    on non-ConvNeXt backbones. See LocalizationConfig.use_pallas_mlp."""
+
     use_focal_loss: bool = False
     focal_gamma: float = 2.0
     focal_alpha: float | None = None
@@ -162,6 +170,7 @@ class ClassificationTrainer(BaseTrainer[ClassificationConfig]):
                 tasks=tuple(tasks),
                 dropout=config.dropout,
                 dtype=jnp.bfloat16 if config.mixed_precision else jnp.float32,
+                use_pallas="mlp" if config.use_pallas_mlp else False,
             )
 
         self._tasks = tasks

@@ -150,3 +150,17 @@ def test_convnext_grads_with_pallas_mlp():
             np.asarray(flat_pal[path]), np.asarray(leaf), atol=1e-3, rtol=1e-3,
             err_msg=f"grad mismatch at {path}",
         )
+
+
+def test_large_dim_falls_back_to_xla():
+    """C beyond MAX_FUSED_DIM must route to the XLA composition, not OOM."""
+    rng = np.random.default_rng(7)
+    m, c = 64, 1024
+    x = jnp.asarray(rng.normal(size=(m, c)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(c, 4 * c)) * 0.02, jnp.float32)
+    b1 = jnp.zeros((4 * c,), jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(4 * c, c)) * 0.02, jnp.float32)
+    b2 = jnp.zeros((c,), jnp.float32)
+    got = fused_mlp(x, w1, b1, w2, b2, interpret=True)
+    want = mlp_reference(x, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
