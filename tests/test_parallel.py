@@ -92,3 +92,32 @@ def test_pad_to_multiple_semantics():
     np.testing.assert_array_equal(padded["x"][5:], np.tile(batch["x"][-1:], (3, 1)))
     same, n2 = pad_to_multiple(batch, 5)
     assert n2 == 5 and same["x"].shape == (5, 2)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_dp_step_with_pallas_mlp_matches_single_device():
+    """The fused-MLP custom VJP must compose with mesh sharding: one DP
+    step on 8 devices equals the same step on 1 device, flag on."""
+    model = CoordinateRegressor(
+        backbone_name="convnext_tiny", dtype=jnp.float32, use_pallas="mlp"
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False
+    )
+    coord_loss = make_coordinate_loss_fn("smooth_l1")
+
+    def loss_fn(outputs, batch):
+        return coord_loss(outputs, batch["coords"], batch["mask"])
+
+    step = make_train_step(model.apply, loss_fn, has_batch_stats=False)
+    variables = jax.tree_util.tree_map(np.asarray, jax.device_get(variables))
+    host_batch = _batch(np.random.default_rng(1), n=8)
+
+    params_1, loss_1 = _run_step(1, variables, step, host_batch)
+    params_8, loss_8 = _run_step(8, variables, step, host_batch)
+
+    assert np.isclose(loss_1, loss_8, rtol=1e-5), (loss_1, loss_8)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params_1), jax.tree_util.tree_leaves(params_8)
+    ):
+        np.testing.assert_allclose(a, b, atol=2e-4)
