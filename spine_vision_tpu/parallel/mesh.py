@@ -89,6 +89,13 @@ def make_mesh(
     """
     devs = devices if devices is not None else jax.devices()
     if num_devices is not None:
+        if len(devs) < num_devices:
+            raise ValueError(
+                f"requested num_devices={num_devices} but only {len(devs)} "
+                f"device(s) are visible on backend "
+                f"{devs[0].platform if devs else '?'}; provision a virtual "
+                "mesh (xla_force_host_platform_device_count) or use fewer"
+            )
         devs = devs[:num_devices]
     n = len(devs)
     if n % model_parallel != 0:

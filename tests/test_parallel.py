@@ -84,6 +84,13 @@ def test_dp_step_matches_single_device():
         np.testing.assert_allclose(a, b, atol=2e-4)
 
 
+def test_make_mesh_raises_on_insufficient_devices():
+    """Silently truncating to a smaller mesh hid the round-1 multichip gate
+    failure (MULTICHIP_r01.json); make_mesh must refuse instead."""
+    with pytest.raises(ValueError, match="num_devices"):
+        make_mesh(num_devices=len(jax.devices()) + 1)
+
+
 def test_pad_to_multiple_semantics():
     batch = {"x": np.arange(10).reshape(5, 2)}
     padded, n = pad_to_multiple(batch, 8)
