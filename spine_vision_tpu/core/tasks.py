@@ -103,6 +103,12 @@ class TaskStrategy(ABC):
     def loss_fn(self, task: TaskConfig) -> LossFn:
         """Return a pure loss function ``(logits, formatted_targets) -> scalar``."""
 
+    def per_sample_loss_fn(self, task: TaskConfig) -> LossFn | None:
+        """Return a ``(logits, formatted_targets) -> [B]`` per-sample loss,
+        or None when unavailable (e.g. custom_loss_fn). Used for weighted
+        batch reductions (padded eval batches, sample weighting)."""
+        return None
+
     @abstractmethod
     def compute_predictions(self, logits: Any) -> np.ndarray:
         """Convert logits to discrete predictions (host numpy)."""
@@ -145,6 +151,26 @@ class BinaryStrategy(TaskStrategy):
 
         return bce
 
+    def per_sample_loss_fn(self, task: TaskConfig) -> LossFn | None:
+        if task.custom_loss_fn is not None:
+            return None
+        if task.use_focal_loss:
+            gamma, alpha = task.focal_gamma, task.focal_alpha
+
+            def focal_ps(logits: jax.Array, targets: jax.Array) -> jax.Array:
+                elem = L.focal_loss_with_logits(
+                    logits, targets, gamma=gamma, alpha=alpha, reduction="none"
+                )
+                return jnp.mean(elem.reshape(elem.shape[0], -1), axis=1)
+
+            return focal_ps
+
+        def bce_ps(logits: jax.Array, targets: jax.Array) -> jax.Array:
+            elem = L.binary_cross_entropy_with_logits(logits, targets)
+            return jnp.mean(elem.reshape(elem.shape[0], -1), axis=1)
+
+        return bce_ps
+
     def compute_predictions(self, logits: Any) -> np.ndarray:
         probs = 1.0 / (1.0 + np.exp(-_as_np(logits).astype(np.float64)))
         preds = (probs > 0.5).astype(np.int32)
@@ -180,6 +206,18 @@ class MulticlassStrategy(TaskStrategy):
             )
 
         return ce
+
+    def per_sample_loss_fn(self, task: TaskConfig) -> LossFn | None:
+        if task.custom_loss_fn is not None:
+            return None
+        smoothing = task.label_smoothing
+
+        def ce_ps(logits: jax.Array, targets: jax.Array) -> jax.Array:
+            return L.softmax_cross_entropy(
+                logits, targets, label_smoothing=smoothing
+            )
+
+        return ce_ps
 
     def compute_predictions(self, logits: Any) -> np.ndarray:
         return np.argmax(_as_np(logits), axis=1)
@@ -229,6 +267,16 @@ class RegressionStrategy(TaskStrategy):
             return jnp.mean(L.mse_loss(logits, targets))
 
         return mse
+
+    def per_sample_loss_fn(self, task: TaskConfig) -> LossFn | None:
+        if task.custom_loss_fn is not None:
+            return None
+
+        def mse_ps(logits: jax.Array, targets: jax.Array) -> jax.Array:
+            elem = L.mse_loss(logits, targets)
+            return jnp.mean(elem.reshape(elem.shape[0], -1), axis=1)
+
+        return mse_ps
 
     def compute_predictions(self, logits: Any) -> np.ndarray:
         return _as_np(logits)

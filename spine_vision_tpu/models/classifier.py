@@ -81,13 +81,23 @@ def make_multitask_loss_fn(
 
     Pure-function equivalent of reference Classifier.get_loss
     (generic.py:147-177); targets are strategy-formatted inside.
+
+    The returned function takes an optional ``sample_weight`` [B] array:
+    when given, each task's loss is a weighted mean over per-sample losses
+    (used to exclude padded rows from eval batches exactly; tasks with a
+    custom_loss_fn fall back to the unweighted mean).
     """
     tasks = list(tasks)
     loss_fns, loss_weights = create_loss_functions(tasks)
     strategies = {t.name: get_strategy(t) for t in tasks}
+    per_sample_fns = {
+        t.name: strategies[t.name].per_sample_loss_fn(t) for t in tasks
+    }
 
     def loss_fn(
-        predictions: dict[str, Array], targets: dict[str, Array]
+        predictions: dict[str, Array],
+        targets: dict[str, Array],
+        sample_weight: Array | None = None,
     ) -> Array:
         total = jnp.float32(0.0)
         for task in tasks:
@@ -95,9 +105,16 @@ def make_multitask_loss_fn(
             if name not in predictions or name not in targets:
                 continue
             target = strategies[name].format_target(targets[name])
-            total = total + loss_weights[name] * loss_fns[name](
-                predictions[name], target
-            )
+            ps_fn = per_sample_fns[name]
+            if sample_weight is not None and ps_fn is not None:
+                w = sample_weight.astype(jnp.float32)
+                per_sample = ps_fn(predictions[name], target)
+                task_loss = jnp.sum(per_sample * w) / jnp.maximum(
+                    jnp.sum(w), 1.0
+                )
+            else:
+                task_loss = loss_fns[name](predictions[name], target)
+            total = total + loss_weights[name] * task_loss
         return total
 
     return loss_fn

@@ -114,18 +114,26 @@ def _transform_coords(
     ty: Array,
     scale: Array,
     flip: Array,
+    h: int,
+    w: int,
 ) -> Array:
-    """Forward-map [L, 2] normalized coords under the same transform."""
+    """Forward-map [L, 2] normalized coords under the same transform.
+
+    Rotation happens in aspect-corrected (pixel-proportional) space so the
+    coordinate map matches the image warp for non-square sizes; rotating raw
+    normalized units would diverge from ``_warp_one``'s pixel-space rotation
+    whenever h != w.
+    """
     x = coords[:, 0]
     y = coords[:, 1]
     x = jnp.where(flip, 1.0 - x, x)
-    xc = x - 0.5
-    yc = y - 0.5
+    xp = (x - 0.5) * w
+    yp = (y - 0.5) * h
     cos_t = jnp.cos(theta)
     sin_t = jnp.sin(theta)
-    xr = (cos_t * xc - sin_t * yc) * scale
-    yr = (sin_t * xc + cos_t * yc) * scale
-    return jnp.stack([xr + 0.5 + tx, yr + 0.5 + ty], axis=-1)
+    xr = (cos_t * xp - sin_t * yp) * scale
+    yr = (sin_t * xp + cos_t * yp) * scale
+    return jnp.stack([xr / w + 0.5 + tx, yr / h + 0.5 + ty], axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -162,12 +170,9 @@ def augment_batch(
 
     out_coords = None
     if coords is not None:
-        if cfg.flip_coords:
-            out_coords = jax.vmap(_transform_coords)(
-                coords, theta, tx, ty, scale, flip
-            )
-        else:
-            out_coords = jax.vmap(_transform_coords)(
-                coords, theta, tx, ty, scale, jnp.zeros_like(flip)
-            )
+        h, w = images.shape[1], images.shape[2]
+        coord_flip = flip if cfg.flip_coords else jnp.zeros_like(flip)
+        out_coords = jax.vmap(
+            functools.partial(_transform_coords, h=h, w=w)
+        )(coords, theta, tx, ty, scale, coord_flip)
     return out_images, out_coords

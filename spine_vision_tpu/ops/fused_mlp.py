@@ -172,6 +172,35 @@ def _fused_mlp_bwd(tile_m, interpret, saved, g):
 _fused_mlp_ad.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _fused_mlp_plain_ad(
+    x: Array,
+    w1: Array,
+    b1: Array,
+    w2: Array,
+    b2: Array,
+    tile_m: int | None,
+    interpret: bool,
+) -> Array:
+    """Differentiable no-tail fused MLP (same fwd-Pallas / bwd-XLA-recompute
+    contract as the tail variant, without streaming a zeros residual)."""
+    return _pallas_mlp(x, w1, b1, w2, b2, None, None, tile_m, interpret)
+
+
+def _fused_mlp_plain_fwd(x, w1, b1, w2, b2, tile_m, interpret):
+    out = _pallas_mlp(x, w1, b1, w2, b2, None, None, tile_m, interpret)
+    return out, (x, w1, b1, w2, b2)
+
+
+def _fused_mlp_plain_bwd(tile_m, interpret, saved, g):
+    x, w1, b1, w2, b2 = saved
+    _, vjp = jax.vjp(mlp_reference, x, w1, b1, w2, b2)
+    return vjp(g)
+
+
+_fused_mlp_plain_ad.defvjp(_fused_mlp_plain_fwd, _fused_mlp_plain_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("tile_m", "interpret"))
 def fused_mlp(
     x: Array,
@@ -218,7 +247,7 @@ def fused_mlp(
             tile_m,
             interpret,
         )
-    return _pallas_mlp(x, w1, b1, w2, b2, None, None, tile_m, interpret)
+    return _fused_mlp_plain_ad(x, w1, b1, w2, b2, tile_m, interpret)
 
 
 def mlp_reference(

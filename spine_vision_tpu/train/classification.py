@@ -98,10 +98,6 @@ class ClassificationConfig(TrainingConfig):
     """Fused Pallas ConvNeXt-MLP kernel (custom VJP) — TPU-only, no effect
     on non-ConvNeXt backbones. See LocalizationConfig.use_pallas_mlp."""
 
-    use_pallas_mlp: bool = False
-    """Fused Pallas ConvNeXt-MLP kernel (custom VJP) — TPU-only, no effect
-    on non-ConvNeXt backbones. See LocalizationConfig.use_pallas_mlp."""
-
     use_focal_loss: bool = False
     focal_gamma: float = 2.0
     focal_alpha: float | None = None
@@ -221,7 +217,9 @@ class ClassificationTrainer(BaseTrainer[ClassificationConfig]):
         return preprocess
 
     def _loss_from_outputs(self, outputs: Any, batch: Any) -> jax.Array:
-        return self._multitask_loss(outputs, batch["targets"])
+        return self._multitask_loss(
+            outputs, batch["targets"], sample_weight=batch.get("_valid")
+        )
 
     # ------------------------------------------------------------------
     # Host-side metrics / hooks

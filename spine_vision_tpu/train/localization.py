@@ -147,7 +147,10 @@ class LocalizationTrainer(BaseTrainer[LocalizationConfig]):
         return preprocess
 
     def _loss_from_outputs(self, outputs: Any, batch: Any) -> jax.Array:
-        return self._coord_loss(outputs, batch["coords"], batch["mask"])
+        mask = batch["mask"]
+        if "_valid" in batch:  # padded eval rows contribute zero exactly
+            mask = mask * batch["_valid"][:, None]
+        return self._coord_loss(outputs, batch["coords"], mask)
 
     # ------------------------------------------------------------------
     # Host-side metrics / hooks

@@ -451,6 +451,12 @@ class BaseTrainer(Generic[TConfig]):
             or (isinstance(v, dict) and k != "metadata")
         }
         padded, n_valid = pad_to_multiple(arrays, self.mesh_ctx.data_axis_size)
+        # Mark padded rows so losses can exclude them exactly (the pad rows
+        # repeat the last sample; an unweighted batch mean would bias the
+        # trailing partial batch toward that duplicate).
+        leaves = jax.tree_util.tree_leaves(padded)
+        padded_n = int(np.asarray(leaves[0]).shape[0]) if leaves else 0
+        padded["_valid"] = (np.arange(padded_n) < n_valid).astype(np.float32)
         return self.mesh_ctx.shard_batch(padded), n_valid
 
     @staticmethod

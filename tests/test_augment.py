@@ -52,6 +52,39 @@ def test_dot_tracks_transformed_coords():
             assert abs(got_y - want_y) < 2.5 / H, (seed, i, got_y, want_y)
 
 
+def test_dot_tracks_transformed_coords_nonsquare():
+    """Rotation must stay label-consistent for h != w (coords rotate in
+    aspect-corrected space, matching the pixel-space image warp)."""
+    h, w = 64, 128
+    centers = [(0.5, 0.5), (0.3, 0.65), (0.7, 0.35)]
+
+    def dot(x_norm, y_norm):
+        img = np.zeros((h, w, 1), dtype=np.float32)
+        px, py = int(x_norm * w), int(y_norm * h)
+        img[py - 1 : py + 2, px - 1 : px + 2] = 1.0
+        return img
+
+    images = jnp.asarray(np.stack([dot(x, y) for x, y in centers]))
+    coords = jnp.asarray(np.asarray(centers, dtype=np.float32)[:, None, :])
+    cfg = AugmentConfig(
+        hflip_prob=0.5, degrees=15.0, translate=0.08,
+        scale_min=0.9, scale_max=1.1, brightness=0.0, contrast=0.0,
+    )
+    for seed in range(4):
+        out_images, out_coords = augment_batch(
+            jax.random.PRNGKey(seed), images, coords, cfg
+        )
+        out_images = np.asarray(out_images)
+        out_coords = np.asarray(out_coords)
+        for i in range(len(centers)):
+            flat = out_images[i, ..., 0]
+            idx = np.unravel_index(np.argmax(flat), flat.shape)
+            got_x, got_y = idx[1] / w, idx[0] / h
+            want_x, want_y = out_coords[i, 0]
+            assert abs(got_x - want_x) < 2.5 / w, (seed, i, got_x, want_x)
+            assert abs(got_y - want_y) < 2.5 / h, (seed, i, got_y, want_y)
+
+
 def test_flip_coords_disabled_keeps_targets():
     images = jnp.asarray(np.stack([_dot_image(0.3, 0.5)]))
     coords = jnp.asarray(np.asarray([[[0.3, 0.5]]], dtype=np.float32))

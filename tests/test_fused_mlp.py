@@ -122,6 +122,36 @@ def test_gradients_match_reference():
         )
 
 
+def test_gradients_plain_path_no_tail():
+    """The public no-tail path (gamma=None, residual=None) must also be
+    differentiable (it previously returned the raw pallas_call, ADVICE r1)."""
+    import jax
+
+    rng = np.random.default_rng(6)
+    m, c = 160, 128
+    args = (
+        jnp.asarray(rng.normal(size=(m, c)), jnp.float32),
+        jnp.asarray(rng.normal(size=(c, 4 * c)) * 0.05, jnp.float32),
+        jnp.asarray(rng.normal(size=(4 * c,)), jnp.float32),
+        jnp.asarray(rng.normal(size=(4 * c, c)) * 0.05, jnp.float32),
+        jnp.asarray(rng.normal(size=(c,)), jnp.float32),
+    )
+
+    def loss_fused(*a):
+        return jnp.sum(fused_mlp(*a, tile_m=128, interpret=True) ** 2)
+
+    def loss_ref(*a):
+        return jnp.sum(mlp_reference(*a) ** 2)
+
+    got = jax.grad(loss_fused, argnums=tuple(range(5)))(*args)
+    want = jax.grad(loss_ref, argnums=tuple(range(5)))(*args)
+    for i, (ga, wa) in enumerate(zip(got, want)):
+        np.testing.assert_allclose(
+            np.asarray(ga), np.asarray(wa), atol=5e-3, rtol=1e-4,
+            err_msg=f"grad mismatch for arg {i}",
+        )
+
+
 def test_convnext_grads_with_pallas_mlp():
     """Model-level grads with use_pallas_mlp=True match the XLA path."""
     import jax

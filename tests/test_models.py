@@ -154,3 +154,34 @@ def test_coordinate_regressor_output_range_and_loss():
     mask = jnp.ones((3, 5))
     loss = loss_fn(out, targets, mask)
     assert np.isfinite(float(loss))
+
+
+def test_multitask_loss_sample_weight_excludes_padding():
+    """Weighted loss over a padded batch (pad rows repeat the last sample,
+    weight 0) must equal the unweighted loss over the unpadded batch —
+    the exact-eval-loss contract used by BaseTrainer._shard_eval."""
+    tasks = get_tasks(["pfirrmann", "herniation"])
+    loss_fn = make_multitask_loss_fn(tasks)
+    rng = np.random.default_rng(0)
+    n, pad = 5, 3
+    preds = {
+        "pfirrmann": jnp.asarray(rng.normal(size=(n, 5)), jnp.float32),
+        "herniation": jnp.asarray(rng.normal(size=(n, 1)), jnp.float32),
+    }
+    targets = {
+        "pfirrmann": jnp.asarray(rng.integers(0, 5, size=(n,))),
+        "herniation": jnp.asarray(rng.integers(0, 2, size=(n,))),
+    }
+    base = float(loss_fn(preds, targets))
+
+    def pad_last(x):
+        return jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
+
+    padded_preds = {k: pad_last(v) for k, v in preds.items()}
+    padded_targets = {k: pad_last(v) for k, v in targets.items()}
+    weight = jnp.asarray([1.0] * n + [0.0] * pad)
+    weighted = float(loss_fn(padded_preds, padded_targets, sample_weight=weight))
+    unweighted = float(loss_fn(padded_preds, padded_targets))
+
+    np.testing.assert_allclose(weighted, base, rtol=1e-6)
+    assert not np.isclose(unweighted, base, rtol=1e-6)  # the bias being fixed
