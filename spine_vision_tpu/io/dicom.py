@@ -7,9 +7,10 @@ ImageOrientationPatient, origin from ImagePositionPatient).
 
 Scope: DICOM Part-10 files (with preamble) and raw datasets; explicit and
 implicit VR little endian, explicit VR big endian, deflated explicit VR;
-encapsulated JPEG baseline/extended (via PIL's libjpeg) and RLE lossless
-(own decoder). MONOCHROME1/2, 8/16-bit, signed/unsigned, Rescale
-slope/intercept applied when non-identity.
+encapsulated JPEG baseline/extended (via PIL's libjpeg), JPEG Lossless
+Process 14 / SV1 (TS .57/.70, own SOF3 decoder in io/jpeg_lossless.py) and
+RLE lossless (own decoder). MONOCHROME1/2, 8/16-bit, signed/unsigned,
+Rescale slope/intercept applied when non-identity.
 
 A C++ fast path (native/) accelerates bulk series parsing; this module is
 the reference implementation and fallback.
@@ -509,6 +510,22 @@ class DicomFile:
                 _decode_rle_frame(frag, rows, cols, self.bits_allocated, signed)
                 for frag in streams
             ]
+            return np.stack(slices)
+
+        if ts in (TS_JPEG_LOSSLESS_14, TS_JPEG_LOSSLESS_14SV1):
+            from spine_vision_tpu.io.jpeg_lossless import decode_jpeg_lossless
+
+            signed = self.pixel_representation == 1
+            slices = []
+            for frag in streams:
+                arr = decode_jpeg_lossless(frag)
+                if arr.ndim == 3:  # color fallback, matches _decode_native
+                    arr = arr.astype(np.float32).mean(axis=-1)
+                if signed:
+                    arr = arr.astype(np.uint16).view(np.int16)
+                elif self.bits_allocated == 8:
+                    arr = arr.astype(np.uint8)
+                slices.append(arr)
             return np.stack(slices)
 
         if ts in (TS_JPEG_BASELINE, TS_JPEG_EXTENDED, TS_JPEG2000, TS_JPEG2000_LOSSLESS):

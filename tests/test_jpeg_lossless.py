@@ -1,0 +1,129 @@
+"""JPEG-Lossless (SOF3, DICOM TS .57/.70) codec: round trips + DICOM wiring.
+
+The reference decodes these syntaxes through GDCM (reference
+io/readers.py:52-73); here the from-scratch codec must round-trip exactly
+(it is a *lossless* format) and a .70-encapsulated DICOM series must
+assemble identically to its uncompressed twin (VERDICT r1 item 4).
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from spine_vision_tpu.io.dicom import DicomFile, read_dicom_series
+from spine_vision_tpu.io.jpeg_lossless import (
+    decode_jpeg_lossless,
+    encode_jpeg_lossless,
+)
+
+RNG = np.random.default_rng(42)
+
+
+@pytest.mark.parametrize("psv", [1, 2, 3, 4, 5, 6, 7])
+def test_roundtrip_all_predictors(psv):
+    img = RNG.integers(0, 65536, size=(23, 31), dtype=np.uint16)
+    back = decode_jpeg_lossless(encode_jpeg_lossless(img, psv=psv))
+    np.testing.assert_array_equal(back, img)
+
+
+def test_roundtrip_smooth_and_extremes():
+    yy, xx = np.mgrid[0:40, 0:28]
+    smooth = ((np.sin(yy / 5.0) + np.cos(xx / 7.0) + 2) * 16000).astype(np.uint16)
+    np.testing.assert_array_equal(
+        decode_jpeg_lossless(encode_jpeg_lossless(smooth)), smooth
+    )
+    extremes = np.zeros((8, 8), np.uint16)
+    extremes[::2, ::2] = 65535  # max-magnitude differences incl. SSSS=16
+    np.testing.assert_array_equal(
+        decode_jpeg_lossless(encode_jpeg_lossless(extremes)), extremes
+    )
+
+
+def test_roundtrip_12bit_precision():
+    img = RNG.integers(0, 4096, size=(16, 16), dtype=np.uint16)
+    back = decode_jpeg_lossless(encode_jpeg_lossless(img, precision=12))
+    np.testing.assert_array_equal(back, img)
+
+
+def test_rejects_non_lossless_sof():
+    data = bytearray(encode_jpeg_lossless(np.zeros((4, 4), np.uint16)))
+    idx = bytes(data).find(b"\xff\xc3")
+    data[idx + 1] = 0xC0  # rewrite as baseline SOF0
+    with pytest.raises(ValueError, match="SOF"):
+        decode_jpeg_lossless(bytes(data))
+
+
+# ---------------------------------------------------------------------------
+# Encapsulated DICOM integration: .70 series == uncompressed twin
+# ---------------------------------------------------------------------------
+
+
+def _element(group, elem, vr, value: bytes) -> bytes:
+    head = struct.pack("<HH", group, elem) + vr
+    if vr in (b"OB", b"OW", b"SQ", b"UN", b"UT"):
+        return head + b"\x00\x00" + struct.pack("<I", len(value)) + value
+    return head + struct.pack("<H", len(value)) + value
+
+
+def _common_body(instance: bytes, rows: int, cols: int) -> bytes:
+    return b"".join(
+        [
+            _element(0x0008, 0x0060, b"CS", b"MR"),
+            _element(0x0020, 0x000E, b"UI", b"9.8.7\x00"),
+            _element(0x0020, 0x0013, b"IS", instance),
+            _element(0x0028, 0x0010, b"US", struct.pack("<H", rows)),
+            _element(0x0028, 0x0011, b"US", struct.pack("<H", cols)),
+            _element(0x0028, 0x0030, b"DS", b"0.5\\0.5 "),
+            _element(0x0028, 0x0100, b"US", struct.pack("<H", 16)),
+            _element(0x0028, 0x0103, b"US", struct.pack("<H", 0)),
+        ]
+    )
+
+
+def _write_uncompressed(path, pixels: np.ndarray, instance: bytes):
+    meta = _element(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.1\x00")
+    body = _common_body(instance, *pixels.shape) + _element(
+        0x7FE0, 0x0010, b"OW", pixels.astype("<u2").tobytes()
+    )
+    path.write_bytes(b"\x00" * 128 + b"DICM" + meta + body)
+
+
+def _write_jpegll(path, pixels: np.ndarray, instance: bytes):
+    meta = _element(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.4.70\x00")
+    frag = encode_jpeg_lossless(pixels, psv=1)
+    if len(frag) % 2:
+        frag += b"\x00"  # items must have even length
+    encapsulated = (
+        struct.pack("<HHI", 0xFFFE, 0xE000, 0)  # empty Basic Offset Table
+        + struct.pack("<HHI", 0xFFFE, 0xE000, len(frag))
+        + frag
+        + struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)
+    )
+    body = _common_body(instance, *pixels.shape) + (
+        struct.pack("<HH", 0x7FE0, 0x0010)
+        + b"OB\x00\x00"
+        + struct.pack("<I", 0xFFFFFFFF)  # undefined length
+        + encapsulated
+    )
+    path.write_bytes(b"\x00" * 128 + b"DICM" + meta + body)
+
+
+def test_jpegll_dicom_matches_uncompressed_twin(tmp_path):
+    plain_dir = tmp_path / "plain"
+    jll_dir = tmp_path / "jll"
+    plain_dir.mkdir()
+    jll_dir.mkdir()
+    for i in range(3):
+        pixels = RNG.integers(0, 4096, size=(12, 10), dtype=np.uint16)
+        inst = f"{i + 1} ".encode()[:2]
+        _write_uncompressed(plain_dir / f"s{i}.dcm", pixels, inst)
+        _write_jpegll(jll_dir / f"s{i}.dcm", pixels, inst)
+
+    single = DicomFile(next(iter(sorted(jll_dir.iterdir()))))
+    assert single.transfer_syntax == "1.2.840.10008.1.2.4.70"
+
+    plain = read_dicom_series(plain_dir)
+    jll = read_dicom_series(jll_dir)
+    np.testing.assert_array_equal(plain.array, jll.array)
+    np.testing.assert_allclose(plain.spacing, jll.spacing)
