@@ -5,87 +5,151 @@ The reference implements this as a host-side cv2 chain per level
 image around the disc center, an axis-aligned clipped crop, min-max uint8
 normalization of the crop, cv2 bilinear resize, and zero-padded letterboxing.
 
-TPU-native formulation: for each of the L levels, directly sample the final
-(crop_h, crop_w) letterboxed output from the source image through the
-composed inverse transform
+TPU-native formulation — entirely gather-free (per-element XLA gathers
+serialize ~50x off roofline on TPU, see AGENTS.md perf lore):
 
-    output pixel -> letterbox window -> crop window -> inverse rotation
-    around the disc center -> bilinear sample of the source image,
-
-so no rotated intermediate is ever materialized. The crop's min/max (needed
-for normalization parity) comes from a gather-free masked reduce over source
-pixels whose forward-rotated position lands inside the crop rect (exact in
-horizontal mode; see pass-A comment). Both passes are vmapped over levels and
-fused by XLA; the whole thing runs inside one jit.
+1. Rotated mode pre-rotates the source with a 3-shear decomposition
+   (Paeth/Catmull-Smith: ``R(-θ) = Sx(-tan(θ/2)) · Sy(sinθ) · Sx(-tan(θ/2))``,
+   exact in coordinates). Each shear is a 1-D resample whose shift varies
+   linearly across lines; lines are processed in blocks of 64 around a
+   per-block integer base shift fetched with one *contiguous* dynamic slice,
+   and the residual sub-block shift is a small static band of weighted taps.
+   No per-element indexing ever occurs.
+2. The crop's min/max (normalization parity) is a masked reduce over the
+   (pre-rotated) work image inside the axis-aligned crop rect — exactly the
+   pixel set the reference normalizes over, in both modes.
+3. The letterboxed output grid is sampled from the work image with
+   separable hat-function (triangle-kernel) matmuls on the MXU.
 
 Dynamic quantities (disc centers, crop extents from per-study mm spacing,
-clipping at image borders) are traced scalars; only the output size is
-static, keeping one compiled program per image shape.
+rotation angles, clipping at image borders) are traced scalars; only the
+output size and the maximum rotation magnitude are static, keeping one
+compiled program per image shape.
 """
 
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
 from jax import Array
 
+_SHEAR_BLOCK = 64
 
-def _inverse_rotation_coords(
-    xr: Array, yr: Array, cx: Array, cy: Array, angle_deg: Array
-) -> tuple[Array, Array]:
-    """Map rotated-image coords to source coords (cv2.getRotationMatrix2D^-1).
 
-    cv2's rotation matrix about center (cx, cy) with angle θ maps source→
-    rotated; sampling the rotated image at (xr, yr) therefore reads the source
-    at the rotation by -θ about the same center.
+def _replicate_extend(image: Array, h: Array, w: Array) -> Array:
+    """Fill the padding region beyond the actual (h, w) extent with edge
+    values, so later whole-array ops see cv2 BORDER_REPLICATE semantics."""
+    hp, wp = image.shape
+    edge_row = jax.lax.dynamic_slice_in_dim(
+        image, jnp.maximum(h - 1, 0), 1, axis=0
+    )
+    image = jnp.where(jnp.arange(hp)[:, None] < h, image, edge_row)
+    edge_col = jax.lax.dynamic_slice_in_dim(
+        image, jnp.maximum(w - 1, 0), 1, axis=1
+    )
+    return jnp.where(jnp.arange(wp)[None, :] < w, image, edge_col)
+
+
+def _shear_cols(
+    img: Array,
+    slope: Array,
+    line_center: Array,
+    max_slope: float,
+    max_shift: float,
+) -> Array:
+    """Horizontal shear ``out[y, x] = img[y, x + slope * (y - line_center)]``
+    with bilinear interpolation and edge replication, correct for rows whose
+    shift magnitude stays within ``max_shift`` (shifts are clamped there, so
+    rows further out produce bounded garbage the rotation's reach analysis
+    guarantees is never read).
+
+    Gather-free realization: rows are processed in blocks of ``_SHEAR_BLOCK``;
+    each block reads one contiguous dynamic slice at its integer base shift,
+    then accumulates a static band of ``2*T+1`` shifted-window taps weighted
+    by per-row hat functions. ``max_slope`` (static) bounds the band size;
+    the caller guarantees ``|slope| <= max_slope``. ``max_shift`` (static)
+    bounds the horizontal padding instead of ``max_slope * height``, keeping
+    HBM traffic proportional to the image, not to worst-case shear travel.
     """
-    theta = jnp.deg2rad(angle_deg)
-    a = jnp.cos(theta)
-    b = jnp.sin(theta)
-    xs = a * xr - b * yr + (1.0 - a) * cx + b * cy
-    ys = b * xr + a * yr - b * cx + (1.0 - a) * cy
-    return xs, ys
+    hp, wp = img.shape
+    g = _SHEAR_BLOCK
+    nb = -(-hp // g)
+    hpad = nb * g
+    t_band = int(math.ceil(max_slope * g / 2.0)) + 2
+    pmax = int(math.ceil(max_shift)) + t_band + 2
+    img_p = jnp.pad(img, ((0, hpad - hp), (pmax, pmax)), mode="edge")
+    ys = jnp.arange(hpad, dtype=jnp.float32)
+    shift = jnp.clip(slope * (ys - line_center), -max_shift, max_shift)
+
+    def block(b: Array) -> Array:
+        y0 = b * g
+        sh = jax.lax.dynamic_slice_in_dim(shift, y0, g)
+        base = jnp.floor(
+            jnp.clip(
+                slope * (y0.astype(jnp.float32) + g / 2.0 - line_center),
+                -max_shift,
+                max_shift,
+            )
+        )
+        start_col = (pmax - t_band) + base.astype(jnp.int32)
+        win = jax.lax.dynamic_slice(img_p, (y0, start_col), (g, wp + 2 * t_band))
+        rel = sh - base + t_band  # [g]; in-reach taps live in [1, 2*t_band]
+        acc = jnp.zeros((g, wp), jnp.float32)
+        for t in range(2 * t_band + 1):
+            wgt = jnp.maximum(0.0, 1.0 - jnp.abs(rel - t))
+            acc = acc + win[:, t : t + wp] * wgt[:, None]
+        return acc
+
+    out = jax.lax.map(block, jnp.arange(nb))
+    return out.reshape(hpad, wp)[:hp]
 
 
-def _bilinear(image: Array, ys: Array, xs: Array, h: Array, w: Array) -> Array:
-    """Bilinear sample with border replication against *actual* extent (h, w).
+def _rotate_about_replicate(
+    image: Array,
+    h: Array,
+    w: Array,
+    cx: Array,
+    cy: Array,
+    angle_deg: Array,
+    max_angle_deg: float,
+    reach_px: float,
+) -> Array:
+    """cv2.warpAffine(getRotationMatrix2D((cx, cy), angle, 1.0)) with
+    BORDER_REPLICATE, as three gather-free shears — correct within
+    ``reach_px`` of the center, arbitrary elsewhere.
 
-    ``image`` may be padded beyond (h, w); clamping against the actual extent
-    reproduces cv2 BORDER_REPLICATE on the real image.
+    Sampling map is ``src = c + R_inv @ (dest - c)`` with
+    ``R_inv = [[cosθ, -sinθ], [sinθ, cosθ]]`` (cv2 angle convention, y-down),
+    decomposed exactly as ``Sx(α) · Sy(β) · Sx(α)`` for ``α = -tan(θ/2)``,
+    ``β = sinθ``. Angles are clamped to ±max_angle_deg (static), which sizes
+    the shear tap bands. Only the axis-aligned crop rect around the center is
+    ever read downstream, so each pass's shift is clamped at the statically
+    backward-propagated reach of that rect (region R3 = rect; pass 3 needs
+    pass-2 content out to R2x = R + α·R rows/cols; pass 2 needs pass-1 out to
+    R1y = R + β·R2x; shifts beyond each pass's reach are clamped, bounding
+    padding and HBM traffic by ``reach_px`` instead of the image diagonal).
+    Interpolation differs from the single-pass cv2 warp only by the extra
+    bilinear smoothing of the multi-pass resampling.
     """
-    ys = jnp.clip(ys, 0.0, h.astype(jnp.float32) - 1.0)
-    xs = jnp.clip(xs, 0.0, w.astype(jnp.float32) - 1.0)
-    y0 = jnp.floor(ys)
-    x0 = jnp.floor(xs)
-    wy = ys - y0
-    wx = xs - x0
-    y0i = y0.astype(jnp.int32)
-    x0i = x0.astype(jnp.int32)
-    y1i = jnp.minimum(y0i + 1, h - 1)
-    x1i = jnp.minimum(x0i + 1, w - 1)
-
-    v00 = image[y0i, x0i]
-    v01 = image[y0i, x1i]
-    v10 = image[y1i, x0i]
-    v11 = image[y1i, x1i]
-    top = v00 * (1.0 - wx) + v01 * wx
-    bot = v10 * (1.0 - wx) + v11 * wx
-    return top * (1.0 - wy) + bot * wy
-
-
-def _forward_rotation_coords(
-    xs: Array, ys: Array, cx: Array, cy: Array, angle_deg: Array
-) -> tuple[Array, Array]:
-    """Map source coords to rotated-image coords (inverse of
-    :func:`_inverse_rotation_coords`)."""
-    theta = jnp.deg2rad(angle_deg)
-    a = jnp.cos(theta)
-    b = jnp.sin(theta)
-    u = xs - ((1.0 - a) * cx + b * cy)
-    v = ys - (-b * cx + (1.0 - a) * cy)
-    return a * u + b * v, -b * u + a * v
+    angle = jnp.clip(angle_deg, -max_angle_deg, max_angle_deg)
+    theta = jnp.deg2rad(angle)
+    alpha = -jnp.tan(theta / 2.0)
+    beta = jnp.sin(theta)
+    max_alpha = math.tan(math.radians(max_angle_deg) / 2.0)
+    max_beta = math.sin(math.radians(max_angle_deg))
+    r = float(reach_px)
+    s3_max = max_alpha * r
+    r2x = r + s3_max
+    s2_max = max_beta * r2x
+    r1y = r + s2_max
+    s1_max = max_alpha * r1y
+    work = _replicate_extend(image, h, w)
+    work = _shear_cols(work, alpha, cy, max_alpha, s1_max)
+    work = _shear_cols(work.T, beta, cx, max_beta, s2_max).T
+    return _shear_cols(work, alpha, cy, max_alpha, s3_max)
 
 
 def _crop_one_level(
@@ -98,6 +162,8 @@ def _crop_one_level(
     crop_h: int,
     crop_w: int,
     separable: bool = False,
+    max_angle_deg: float = 40.0,
+    max_crop_px: int = 384,
 ) -> Array:
     """Produce one letterboxed uint8 crop for a single level (see module doc)."""
     image = image.astype(jnp.float32)
@@ -107,6 +173,11 @@ def _crop_one_level(
     cx = jnp.floor(center_xy[0] * wf)  # int(center_x * w) truncation
     cy = jnp.floor(center_xy[1] * hf)
 
+    if not separable:
+        # The rotation's correctness reach is static; keep the crop rect
+        # inside it (default 384 px is ~2x the largest reference mm delta at
+        # the 0.3 mm isotropic spacing the pipeline standardizes on).
+        delta_px = jnp.minimum(delta_px, float(max_crop_px))
     left, right, top, bottom = delta_px[0], delta_px[1], delta_px[2], delta_px[3]
     x1 = jnp.maximum(0.0, cx - left)
     x2 = jnp.minimum(wf, cx + right)
@@ -115,22 +186,27 @@ def _crop_one_level(
     ch = jnp.maximum(y2 - y1, 1.0)
     cw = jnp.maximum(x2 - x1, 1.0)
 
-    # ---- Pass A: crop min/max via a masked reduce over source pixels ----
-    # Gather-free (TPU gathers serialize): a source pixel contributes when
-    # its forward-rotated position lands in the crop rect. For horizontal
-    # mode this is EXACTLY the reference's min/max (the crop samples are
-    # integer source pixels); for rotated mode extremes of the bilinear
-    # samples are bounded by these source extremes, so the normalization
-    # differs by at most the local interpolation error.
+    if not separable:
+        # Rotated mode (also exact identity when angle == 0): pre-rotate the
+        # whole image about the disc center, mirroring the reference's
+        # warpAffine-then-axis-aligned-crop (cropping.py:258-313). Everything
+        # downstream is then identical to horizontal mode.
+        image = _rotate_about_replicate(
+            image, h, w, cx, cy, angle_deg, max_angle_deg, float(max_crop_px)
+        )
+
+    # ---- Pass A: crop min/max over the work image inside the crop rect ----
+    # Exactly the pixel set the reference's normalize_to_uint8 reduces over
+    # (the clipped crop of the (possibly warped) image), via a gather-free
+    # masked reduce.
     hp, wp = image.shape
     gy = jnp.arange(hp, dtype=jnp.float32)[:, None]
     gx = jnp.arange(wp, dtype=jnp.float32)[None, :]
-    xr_f, yr_f = _forward_rotation_coords(gx, gy, cx, cy, angle_deg)
     inside = (
-        (xr_f >= x1)
-        & (xr_f <= x2 - 1.0)
-        & (yr_f >= y1)
-        & (yr_f <= y2 - 1.0)
+        (gx >= x1)
+        & (gx <= x2 - 1.0)
+        & (gy >= y1)
+        & (gy <= y2 - 1.0)
         & (gy < hf)
         & (gx < wf)
     )
@@ -161,23 +237,16 @@ def _crop_one_level(
     xcr = (ox - x_off + 0.5) * (cw / jnp.maximum(new_w, 1.0)) - 0.5
     ycr = jnp.clip(ycr, 0.0, ch - 1.0)
     xcr = jnp.clip(xcr, 0.0, cw - 1.0)
-    if separable:
-        # Horizontal mode: row/col sampling coordinates are independent, so
-        # the bilinear resample is two hat-matrix matmuls on the MXU instead
-        # of XLA gathers (which serialize on TPU; see ops.image.resize_dynamic).
-        hp, wp = image.shape
-        ys_o = jnp.clip(y1 + ycr[:, 0], 0.0, hf - 1.0)  # [crop_h]
-        xs_o = jnp.clip(x1 + xcr[0, :], 0.0, wf - 1.0)  # [crop_w]
-        rows = jnp.arange(hp, dtype=jnp.float32)
-        cols = jnp.arange(wp, dtype=jnp.float32)
-        r_mat = jnp.maximum(0.0, 1.0 - jnp.abs(ys_o[:, None] - rows[None, :]))
-        c_mat = jnp.maximum(0.0, 1.0 - jnp.abs(xs_o[:, None] - cols[None, :]))
-        vals = r_mat @ image @ c_mat.T
-    else:
-        yr_o = y1 + jnp.broadcast_to(ycr, (crop_h, crop_w))
-        xr_o = x1 + jnp.broadcast_to(xcr, (crop_h, crop_w))
-        xs_o, ys_o = _inverse_rotation_coords(xr_o, yr_o, cx, cy, angle_deg)
-        vals = _bilinear(image, ys_o, xs_o, h, w)
+    # Row/col sampling coordinates are independent (the work image is
+    # axis-aligned in both modes now), so the bilinear resample is two
+    # hat-matrix matmuls on the MXU instead of XLA gathers.
+    ys_o = jnp.clip(y1 + ycr[:, 0], 0.0, hf - 1.0)  # [crop_h]
+    xs_o = jnp.clip(x1 + xcr[0, :], 0.0, wf - 1.0)  # [crop_w]
+    rows = jnp.arange(hp, dtype=jnp.float32)
+    cols = jnp.arange(wp, dtype=jnp.float32)
+    r_mat = jnp.maximum(0.0, 1.0 - jnp.abs(ys_o[:, None] - rows[None, :]))
+    c_mat = jnp.maximum(0.0, 1.0 - jnp.abs(xs_o[:, None] - cols[None, :]))
+    vals = r_mat @ image @ c_mat.T
 
     norm = (vals - crop_min) * inv_range * 255.0
     out = jnp.where(out_valid, norm, 0.0)
@@ -193,6 +262,8 @@ def crop_ivd_regions_impl(
     crop_w: int = 256,
     image_hw: Array | None = None,
     separable: bool = False,
+    max_angle_deg: float = 40.0,
+    max_crop_px: int = 384,
 ) -> Array:
     """Crop all IVD levels from one image in a single fused device pass.
 
@@ -209,7 +280,11 @@ def crop_ivd_regions_impl(
         crop_h, crop_w: Static output crop size.
         image_hw: Optional [2] actual (h, w) when ``image`` is padded.
         separable: Static fast path for horizontal mode (angles all zero):
-            the letterbox resample runs as MXU matmuls instead of gathers.
+            skips the (identity) pre-rotation entirely.
+        max_angle_deg: Static clamp on rotation magnitude; sizes the shear
+            tap bands of the gather-free rotation.
+        max_crop_px: Static bound on crop deltas in rotated mode; sizes the
+            rotation's correctness reach (deltas are clamped to it).
 
     Returns:
         [L, crop_h, crop_w] uint8 letterboxed crops.
@@ -230,6 +305,8 @@ def crop_ivd_regions_impl(
         crop_h=crop_h,
         crop_w=crop_w,
         separable=separable,
+        max_angle_deg=max_angle_deg,
+        max_crop_px=max_crop_px,
     )
     return jax.vmap(lambda c, a: fn(c, a, delta))(
         centers_xy.astype(jnp.float32), angles_deg.astype(jnp.float32)
@@ -237,7 +314,7 @@ def crop_ivd_regions_impl(
 
 
 crop_ivd_regions = functools.partial(
-    jax.jit, static_argnames=("crop_h", "crop_w", "separable")
+    jax.jit, static_argnames=("crop_h", "crop_w", "separable", "max_angle_deg", "max_crop_px")
 )(crop_ivd_regions_impl)
 """Jitted entry point for :func:`crop_ivd_regions_impl` (one image).
 

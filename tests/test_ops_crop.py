@@ -169,3 +169,44 @@ def test_separable_path_matches_gather_path(center):
     )
     diff = np.abs(a.astype(int) - b.astype(int))
     assert diff.max() <= 1  # identical up to float-accumulation rounding
+
+
+@pytest.mark.parametrize("angle", [-38.0, 22.0])
+@pytest.mark.parametrize("center", [(0.5, 0.5), (0.25, 0.7)])
+def test_shear_rotation_matches_cv2_warpaffine(angle, center):
+    """The 3-shear gather-free rotation must reproduce cv2.warpAffine
+    (BORDER_REPLICATE) away from the replicate border."""
+    from spine_vision_tpu.ops.crop import _rotate_about_replicate
+
+    yy, xx = np.mgrid[0:160, 0:220].astype(np.float32)
+    image = np.sin(yy / 13.0) * 70 + np.cos(xx / 19.0) * 50 + xx * 0.2
+
+    h, w = image.shape
+    cx, cy = int(center[0] * w), int(center[1] * h)
+    mat = cv2.getRotationMatrix2D((cx, cy), angle, 1.0)
+    ref = cv2.warpAffine(
+        image, mat, (w, h), flags=cv2.INTER_LINEAR,
+        borderMode=cv2.BORDER_REPLICATE,
+    )
+    ours = np.asarray(
+        _rotate_about_replicate(
+            jnp.asarray(image), jnp.int32(h), jnp.int32(w),
+            jnp.float32(cx), jnp.float32(cy), jnp.float32(angle), 40.0, 512.0,
+        )
+    )
+    # Compare where the full 3-shear sampling path stays interior: the
+    # multi-pass scheme replicates at *intermediate* positions, so pixels
+    # whose shear path leaves the image differ from cv2's final-position
+    # replicate by construction (only crop rects hugging the border see it).
+    theta = np.deg2rad(angle)
+    alpha, beta = -np.tan(theta / 2.0), np.sin(theta)
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+    x2 = xs + alpha * (ys - cy)
+    y1 = ys + beta * (x2 - cx)
+    x0 = x2 + alpha * (y1 - cy)
+    interior = np.ones((h, w), bool)
+    for arr, lim in ((x2, w), (x0, w), (y1, h)):
+        interior &= (arr > 2) & (arr < lim - 3)
+    diff = np.abs(ours - ref)[interior]
+    assert np.median(diff) < 0.5, np.median(diff)
+    assert np.percentile(diff, 99) < 4.0, np.percentile(diff, 99)
