@@ -187,3 +187,286 @@ def test_convnext_timm_naming_converts():
 def test_convnext_unknown_naming_raises():
     with pytest.raises(ValueError, match="consumed no tensors"):
         convert_convnext_state_dict({"foo.bar": torch.zeros(3)})
+
+
+# ---------------------------------------------------------------------------
+# ViT / Swin / EfficientNet / MobileNetV3 (round-2 coverage, VERDICT item 8)
+# ---------------------------------------------------------------------------
+#
+# Synthetic state dicts are generated by walking the Flax init tree and
+# emitting the timm-named torch-format tensors (the inverse of each
+# converter's layout mapping), so shapes are exact per family and the test
+# pins both naming and transpose conventions.
+
+from spine_vision_tpu.models.convert import (
+    _MERGE_GROUP_PERM,
+    convert_efficientnet_state_dict,
+    convert_mobilenetv3_state_dict,
+    convert_swin_state_dict,
+    convert_vit_state_dict,
+)
+
+
+def _t(arr):
+    return torch.tensor(np.ascontiguousarray(arr, dtype=np.float32))
+
+
+def _inv_conv(kernel):  # HWIO -> OIHW
+    return _t(np.transpose(kernel, (3, 2, 0, 1)))
+
+
+def _inv_dwconv(kernel):  # (kh,kw,1,C) -> (C,1,kh,kw)
+    return _t(np.transpose(kernel, (3, 2, 0, 1)))
+
+
+def _inv_linear(kernel):  # (in,out) -> (out,in)
+    return _t(np.transpose(kernel, (1, 0)))
+
+
+def _emit_bn(sd, torch_key, p_bn, s_bn):
+    sd[f"{torch_key}.weight"] = _t(p_bn["scale"])
+    sd[f"{torch_key}.bias"] = _t(p_bn["bias"])
+    sd[f"{torch_key}.running_mean"] = _t(s_bn["mean"])
+    sd[f"{torch_key}.running_var"] = _t(np.abs(s_bn["var"]) + 0.5)
+
+
+def test_vit_conversion_matches_init_tree():
+    from spine_vision_tpu.models.vit import VIT_CONFIGS, ViT
+
+    cfg = VIT_CONFIGS["vit_tiny"]
+    model = ViT(config=cfg, dtype=jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
+    )
+    p = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    sd = {}
+    sd["cls_token"] = _t(p["cls_token"])
+    sd["pos_embed"] = _t(p["pos_embed"])
+    sd["patch_embed.proj.weight"] = _inv_conv(p["patch_embed"]["kernel"])
+    sd["patch_embed.proj.bias"] = _t(p["patch_embed"]["bias"])
+    d = cfg.hidden_dim
+    for i in range(1, cfg.depth + 1):
+        blk = p[f"block{i}"]
+        tp = f"blocks.{i - 1}"
+        for norm in ("norm1", "norm2"):
+            sd[f"{tp}.{norm}.weight"] = _t(blk[norm]["scale"])
+            sd[f"{tp}.{norm}.bias"] = _t(blk[norm]["bias"])
+        qkv_w = np.concatenate(
+            [blk["attn"][k]["kernel"].reshape(d, d).T for k in ("query", "key", "value")],
+            axis=0,
+        )
+        qkv_b = np.concatenate(
+            [blk["attn"][k]["bias"].reshape(-1) for k in ("query", "key", "value")]
+        )
+        sd[f"{tp}.attn.qkv.weight"] = _t(qkv_w)
+        sd[f"{tp}.attn.qkv.bias"] = _t(qkv_b)
+        sd[f"{tp}.attn.proj.weight"] = _t(blk["attn"]["out"]["kernel"].reshape(d, d).T)
+        sd[f"{tp}.attn.proj.bias"] = _t(blk["attn"]["out"]["bias"])
+        sd[f"{tp}.mlp.fc1.weight"] = _inv_linear(blk["fc1"]["kernel"])
+        sd[f"{tp}.mlp.fc1.bias"] = _t(blk["fc1"]["bias"])
+        sd[f"{tp}.mlp.fc2.weight"] = _inv_linear(blk["fc2"]["kernel"])
+        sd[f"{tp}.mlp.fc2.bias"] = _t(blk["fc2"]["bias"])
+    sd["norm.weight"] = _t(p["norm"]["scale"])
+    sd["norm.bias"] = _t(p["norm"]["bias"])
+    sd["head.weight"] = _t(np.zeros((1000, d)))
+    sd["head.bias"] = _t(np.zeros(1000))
+
+    converted = convert_vit_state_dict(sd, cfg.num_heads)
+    assert _tree_shapes(converted) == _tree_shapes(variables["params"])
+    # Values must round-trip exactly (pins the qkv split + head reshapes).
+    flat_a = jax.tree_util.tree_leaves(converted)
+    flat_b = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(np.asarray, variables["params"])
+    )
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+    out = model.apply({"params": converted}, jnp.zeros((1, 64, 64, 3)), train=False)
+    assert out.shape == (1, d) and np.all(np.isfinite(np.asarray(out)))
+
+
+def test_swin_conversion_matches_init_tree():
+    from spine_vision_tpu.models.swin import SWIN_CONFIGS, SwinTransformer
+
+    cfg = SWIN_CONFIGS["swin_tiny"]
+    model = SwinTransformer(config=cfg, dtype=jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
+    )
+    p = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    def perm_groups(arr, axis=0):
+        parts = np.split(arr, 4, axis=axis)
+        return np.concatenate([parts[i] for i in _MERGE_GROUP_PERM], axis=axis)
+
+    sd = {}
+    sd["patch_embed.proj.weight"] = _inv_conv(p["patch_embed"]["kernel"])
+    sd["patch_embed.proj.bias"] = _t(p["patch_embed"]["bias"])
+    sd["patch_embed.norm.weight"] = _t(p["patch_norm"]["scale"])
+    sd["patch_embed.norm.bias"] = _t(p["patch_norm"]["bias"])
+    for s, depth in enumerate(cfg.depths):
+        if s >= 1:
+            merge = p[f"merge{s}"]
+            sd[f"layers.{s}.downsample.reduction.weight"] = _inv_linear(
+                perm_groups(merge["Dense_0"]["kernel"])
+            )
+            sd[f"layers.{s}.downsample.norm.weight"] = _t(
+                perm_groups(merge["LayerNorm_0"]["scale"])
+            )
+            sd[f"layers.{s}.downsample.norm.bias"] = _t(
+                perm_groups(merge["LayerNorm_0"]["bias"])
+            )
+        for b in range(depth):
+            blk = p[f"stage{s + 1}_block{b + 1}"]
+            tp = f"layers.{s}.blocks.{b}"
+            for norm in ("norm1", "norm2"):
+                sd[f"{tp}.{norm}.weight"] = _t(blk[norm]["scale"])
+                sd[f"{tp}.{norm}.bias"] = _t(blk[norm]["bias"])
+            sd[f"{tp}.attn.qkv.weight"] = _inv_linear(blk["attn"]["qkv"]["kernel"])
+            sd[f"{tp}.attn.qkv.bias"] = _t(blk["attn"]["qkv"]["bias"])
+            sd[f"{tp}.attn.proj.weight"] = _inv_linear(blk["attn"]["proj"]["kernel"])
+            sd[f"{tp}.attn.proj.bias"] = _t(blk["attn"]["proj"]["bias"])
+            sd[f"{tp}.attn.relative_position_bias_table"] = _t(
+                blk["attn"]["relative_position_bias_table"]
+            )
+            sd[f"{tp}.attn.relative_position_index"] = torch.zeros(49, 49)
+            sd[f"{tp}.mlp.fc1.weight"] = _inv_linear(blk["fc1"]["kernel"])
+            sd[f"{tp}.mlp.fc1.bias"] = _t(blk["fc1"]["bias"])
+            sd[f"{tp}.mlp.fc2.weight"] = _inv_linear(blk["fc2"]["kernel"])
+            sd[f"{tp}.mlp.fc2.bias"] = _t(blk["fc2"]["bias"])
+    sd["norm.weight"] = _t(p["norm"]["scale"])
+    sd["norm.bias"] = _t(p["norm"]["bias"])
+
+    converted = convert_swin_state_dict(sd)
+    assert _tree_shapes(converted) == _tree_shapes(variables["params"])
+    for a, b in zip(
+        jax.tree_util.tree_leaves(converted), jax.tree_util.tree_leaves(p)
+    ):
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+    out = model.apply({"params": converted}, jnp.zeros((1, 64, 64, 3)), train=False)
+    assert out.shape == (1, cfg.num_features)
+
+
+def _emit_effnet_block(sd, tk, blk_p, blk_s, fused):
+    if fused:
+        sd[f"{tk}.conv_exp.weight"] = _inv_conv(blk_p["fused_conv"]["kernel"])
+        _emit_bn(sd, f"{tk}.bn1", blk_p["fused_bn"], blk_s["fused_bn"])
+        sd[f"{tk}.conv_pwl.weight"] = _inv_conv(blk_p["project_conv"]["kernel"])
+        _emit_bn(sd, f"{tk}.bn2", blk_p["project_bn"], blk_s["project_bn"])
+        return
+    if "expand_conv" in blk_p:
+        sd[f"{tk}.conv_pw.weight"] = _inv_conv(blk_p["expand_conv"]["kernel"])
+        _emit_bn(sd, f"{tk}.bn1", blk_p["expand_bn"], blk_s["expand_bn"])
+        sd[f"{tk}.conv_dw.weight"] = _inv_dwconv(blk_p["dwconv"]["kernel"])
+        _emit_bn(sd, f"{tk}.bn2", blk_p["dw_bn"], blk_s["dw_bn"])
+        sd[f"{tk}.conv_pwl.weight"] = _inv_conv(blk_p["project_conv"]["kernel"])
+        _emit_bn(sd, f"{tk}.bn3", blk_p["project_bn"], blk_s["project_bn"])
+    else:
+        sd[f"{tk}.conv_dw.weight"] = _inv_dwconv(blk_p["dwconv"]["kernel"])
+        _emit_bn(sd, f"{tk}.bn1", blk_p["dw_bn"], blk_s["dw_bn"])
+        sd[f"{tk}.conv_pw.weight"] = _inv_conv(blk_p["project_conv"]["kernel"])
+        _emit_bn(sd, f"{tk}.bn2", blk_p["project_bn"], blk_s["project_bn"])
+    if "se" in blk_p:
+        se = blk_p["se"]
+        sd[f"{tk}.se.conv_reduce.weight"] = _t(
+            se["fc1"]["kernel"].T[:, :, None, None]
+        )
+        sd[f"{tk}.se.conv_reduce.bias"] = _t(se["fc1"]["bias"])
+        sd[f"{tk}.se.conv_expand.weight"] = _t(
+            se["fc2"]["kernel"].T[:, :, None, None]
+        )
+        sd[f"{tk}.se.conv_expand.bias"] = _t(se["fc2"]["bias"])
+
+
+def test_efficientnet_conversion_matches_init_tree():
+    from spine_vision_tpu.models.efficientnet import (
+        EFFICIENTNET_CONFIGS,
+        EfficientNet,
+    )
+
+    for variant in ("efficientnet_b0", "efficientnetv2_s"):
+        cfg = EFFICIENTNET_CONFIGS[variant]
+        model = EfficientNet(config=cfg, dtype=jnp.float32)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
+        )
+        p = jax.tree_util.tree_map(np.asarray, variables["params"])
+        s = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+
+        sd = {}
+        sd["conv_stem.weight"] = _inv_conv(p["stem_conv"]["kernel"])
+        _emit_bn(sd, "bn1", p["stem_bn"], s["stem_bn"])
+        for si, spec in enumerate(cfg.blocks):
+            for b in range(spec.num_blocks):
+                name = f"stage{si + 1}_block{b + 1}"
+                _emit_effnet_block(
+                    sd, f"blocks.{si}.{b}", p[name], s[name], spec.kind == "fused"
+                )
+        sd["conv_head.weight"] = _inv_conv(p["head_conv"]["kernel"])
+        _emit_bn(sd, "bn2", p["head_bn"], s["head_bn"])
+        sd["classifier.weight"] = _t(np.zeros((10, cfg.head_filters)))
+
+        cp, cs = convert_efficientnet_state_dict(sd)
+        assert _tree_shapes(cp) == _tree_shapes(variables["params"]), variant
+        assert _tree_shapes(cs) == _tree_shapes(variables["batch_stats"]), variant
+        out = model.apply(
+            {"params": cp, "batch_stats": cs},
+            jnp.zeros((1, 64, 64, 3)),
+            train=False,
+        )
+        assert out.shape == (1, cfg.head_filters)
+        assert np.all(np.isfinite(np.asarray(out))), variant
+
+
+def test_mobilenetv3_conversion_matches_init_tree():
+    from spine_vision_tpu.models.efficientnet import (
+        MOBILENETV3_CONFIGS,
+        MobileNetV3,
+    )
+
+    cfg = MOBILENETV3_CONFIGS["mobilenetv3_small"]
+    model = MobileNetV3(config=cfg, dtype=jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
+    )
+    p = jax.tree_util.tree_map(np.asarray, variables["params"])
+    s = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+
+    sd = {}
+    sd["conv_stem.weight"] = _inv_conv(p["stem_conv"]["kernel"])
+    _emit_bn(sd, "bn1", p["stem_bn"], s["stem_bn"])
+    for i in range(1, len(cfg.blocks) + 1):
+        tk = f"blocks.0.{i - 1}"
+        if f"block{i}_expand" in p:
+            sd[f"{tk}.conv_pw.weight"] = _inv_conv(p[f"block{i}_expand"]["kernel"])
+            _emit_bn(sd, f"{tk}.bn1", p[f"block{i}_expand_bn"], s[f"block{i}_expand_bn"])
+            sd[f"{tk}.conv_dw.weight"] = _inv_dwconv(p[f"block{i}_dw"]["kernel"])
+            _emit_bn(sd, f"{tk}.bn2", p[f"block{i}_dw_bn"], s[f"block{i}_dw_bn"])
+            sd[f"{tk}.conv_pwl.weight"] = _inv_conv(p[f"block{i}_project"]["kernel"])
+            _emit_bn(sd, f"{tk}.bn3", p[f"block{i}_project_bn"], s[f"block{i}_project_bn"])
+        else:
+            sd[f"{tk}.conv_dw.weight"] = _inv_dwconv(p[f"block{i}_dw"]["kernel"])
+            _emit_bn(sd, f"{tk}.bn1", p[f"block{i}_dw_bn"], s[f"block{i}_dw_bn"])
+            sd[f"{tk}.conv_pw.weight"] = _inv_conv(p[f"block{i}_project"]["kernel"])
+            _emit_bn(sd, f"{tk}.bn2", p[f"block{i}_project_bn"], s[f"block{i}_project_bn"])
+        if f"block{i}_se" in p:
+            se = p[f"block{i}_se"]
+            sd[f"{tk}.se.conv_reduce.weight"] = _t(se["fc1"]["kernel"].T[:, :, None, None])
+            sd[f"{tk}.se.conv_reduce.bias"] = _t(se["fc1"]["bias"])
+            sd[f"{tk}.se.conv_expand.weight"] = _t(se["fc2"]["kernel"].T[:, :, None, None])
+            sd[f"{tk}.se.conv_expand.bias"] = _t(se["fc2"]["bias"])
+    # Final ConvBnAct stage -> head conv/bn; post-pool conv_head -> head_fc.
+    n = len(cfg.blocks)
+    sd[f"blocks.0.{n}.conv.weight"] = _inv_conv(p["head_conv"]["kernel"])
+    _emit_bn(sd, f"blocks.0.{n}.bn1", p["head_bn"], s["head_bn"])
+    sd["conv_head.weight"] = _t(p["head_fc"]["kernel"].T[:, :, None, None])
+    sd["conv_head.bias"] = _t(p["head_fc"]["bias"])
+
+    cp, cs = convert_mobilenetv3_state_dict(sd)
+    assert _tree_shapes(cp) == _tree_shapes(variables["params"])
+    assert _tree_shapes(cs) == _tree_shapes(variables["batch_stats"])
+    out = model.apply(
+        {"params": cp, "batch_stats": cs}, jnp.zeros((1, 64, 64, 3)), train=False
+    )
+    assert out.shape == (1, cfg.head_filters)
+    assert np.all(np.isfinite(np.asarray(out)))
