@@ -3,6 +3,7 @@
 from spine_vision_tpu.parallel.mesh import (
     MeshContext,
     all_gather_host,
+    initialize_distributed,
     batch_sharding,
     is_main_process,
     make_mesh,
@@ -14,6 +15,7 @@ from spine_vision_tpu.parallel.mesh import (
 __all__ = [
     "MeshContext",
     "all_gather_host",
+    "initialize_distributed",
     "batch_sharding",
     "is_main_process",
     "make_mesh",

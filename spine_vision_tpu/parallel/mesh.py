@@ -33,6 +33,46 @@ def is_main_process() -> bool:
     return jax.process_index() == 0
 
 
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> bool:
+    """Multi-host (DCN) initialization — the launch story the reference gets
+    from ``accelerate launch`` (trainers/base.py:626-628).
+
+    Call once per process before any device use. With no arguments, relies
+    on the cluster environment (TPU pod metadata / ``JAX_COORDINATOR_ADDRESS``
+    etc.), which ``jax.distributed.initialize`` auto-detects; explicit
+    arguments cover bare-metal multi-host launches:
+
+        spine-vision-tpu train localization --distributed ...   (per host)
+
+    Returns True if initialization ran, False if it was skipped because the
+    runtime is already initialized or single-process with no coordinator
+    configured. Idempotent: safe to call from every entry point.
+    """
+    import os
+
+    already = getattr(jax.distributed.global_state, "client", None) is not None
+    if already:
+        return False
+    has_config = (
+        coordinator_address is not None
+        or os.environ.get("JAX_COORDINATOR_ADDRESS")
+        or os.environ.get("COORDINATOR_ADDRESS")
+        or os.environ.get("TPU_WORKER_HOSTNAMES")
+    )
+    if not has_config:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
+
+
 @dataclass(frozen=True)
 class MeshContext:
     """A named device mesh plus its canonical shardings."""

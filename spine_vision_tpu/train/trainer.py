@@ -92,6 +92,10 @@ class TrainingConfig(BaseConfig):
     # Hardware / precision
     num_devices: int | None = None
     """Devices to use for the data-parallel mesh (None = all)."""
+    distributed: bool = False
+    """Multi-host: run jax.distributed.initialize before device use
+    (parallel.initialize_distributed; coordinator from the environment).
+    The reference's equivalent is launching under ``accelerate launch``."""
     num_workers: int = 8
     mixed_precision: bool = True
     """bf16 compute (TPU-native; replaces the reference's fp16 autocast)."""
@@ -199,7 +203,12 @@ class BaseTrainer(Generic[TConfig]):
         self.train_dataset = train_dataset
         self.val_dataset = val_dataset
 
-        # Device mesh (data parallel over ICI).
+        # Multi-host (DCN) runtime init before any device use, then the
+        # device mesh (data parallel over ICI).
+        if config.distributed:
+            from spine_vision_tpu.parallel import initialize_distributed
+
+            initialize_distributed()
         self.mesh_ctx: MeshContext = make_mesh(num_devices=config.num_devices)
         if config.batch_size % self.mesh_ctx.data_axis_size != 0:
             raise ValueError(

@@ -79,3 +79,94 @@ def test_multihost_batch_divisibility_check():
             process_index=0,
             process_count=4,
         )
+
+
+# ---------------------------------------------------------------------------
+# Multi-host simulation (VERDICT r1 item 7): faked process_index/process_count
+# ---------------------------------------------------------------------------
+
+
+class _IdxDataset:
+    """Sample = its own index, so batches expose the index stream."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, idx):
+        return {"idx": np.asarray(idx), "x": np.full((3,), idx, np.float32)}
+
+
+def _loader(n, bs, pc, pi, **kw):
+    from spine_vision_tpu.data.loader import DataLoader
+
+    kw.setdefault("shuffle", True)
+    return DataLoader(
+        _IdxDataset(n),
+        batch_size=bs,
+        seed=7,
+        num_workers=2,
+        process_count=pc,
+        process_index=pi,
+        **kw,
+    )
+
+
+@pytest.mark.parametrize("pc", [2, 4])
+def test_multihost_global_batch_reassembly(pc):
+    """Concatenating every host's shard of batch b must equal the
+    single-process global batch b, for every batch."""
+    n, bs = 103, 16
+    global_batches = [b["idx"] for b in _loader(n, bs, 1, 0)]
+    per_host = [[b["idx"] for b in _loader(n, bs, pc, pi)] for pi in range(pc)]
+
+    counts = {len(batches) for batches in per_host}
+    assert counts == {len(global_batches)}  # equal batch counts per host
+    for bi, gb in enumerate(global_batches):
+        reassembled = np.concatenate([per_host[pi][bi] for pi in range(pc)])
+        np.testing.assert_array_equal(reassembled, gb)
+
+
+@pytest.mark.parametrize("pc", [2, 4])
+def test_multihost_weighted_sampling_preserves_balance(pc):
+    """Weighted sampling draws the SAME seeded global stream on every host,
+    so the union of host shards keeps the global class-balance property."""
+    n, bs = 96, 24
+    # Two imbalanced classes: 80 of class 0, 16 of class 1.
+    labels = np.asarray([0] * 80 + [1] * 16)
+    from spine_vision_tpu.data.loader import compute_inverse_frequency_weights
+
+    weights = compute_inverse_frequency_weights(labels)
+
+    global_idx = np.concatenate(
+        [b["idx"] for b in _loader(n, bs, 1, 0, sample_weights=weights)]
+    )
+    union = np.concatenate(
+        [
+            np.concatenate(
+                [b["idx"] for b in _loader(n, bs, pc, pi, sample_weights=weights)]
+            )
+            for pi in range(pc)
+        ]
+    )
+    # Same multiset of drawn indices -> identical class balance.
+    np.testing.assert_array_equal(np.sort(union), np.sort(global_idx))
+    drawn_classes = labels[union]
+    frac1 = (drawn_classes == 1).mean()
+    assert 0.3 < frac1 < 0.7  # balanced despite 80/16 skew
+
+
+def test_multihost_trailing_batch_padded_equally():
+    """A trailing partial batch (drop_last=False) must still give every host
+    the same number of rows (collective-deadlock guard)."""
+    n, bs, pc = 18, 8, 4
+    per_host = [
+        [b["idx"] for b in _loader(n, bs, pc, pi, shuffle=False, drop_last=False)]
+        for pi in range(pc)
+    ]
+    for pi in range(pc):
+        assert len(per_host[pi]) == 3
+        sizes = [len(b) for b in per_host[pi]]
+        assert sizes == [2, 2, 1]  # trailing global batch of 2 padded to 4

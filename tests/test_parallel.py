@@ -128,3 +128,17 @@ def test_dp_step_with_pallas_mlp_matches_single_device():
         jax.tree_util.tree_leaves(params_1), jax.tree_util.tree_leaves(params_8)
     ):
         np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+def test_initialize_distributed_noop_single_process(monkeypatch):
+    """With no coordinator configured, initialization must be skipped (and
+    be idempotent-safe) so single-host entry points can call it blindly."""
+    from spine_vision_tpu.parallel import initialize_distributed
+
+    for var in (
+        "JAX_COORDINATOR_ADDRESS",
+        "COORDINATOR_ADDRESS",
+        "TPU_WORKER_HOSTNAMES",
+    ):
+        monkeypatch.delenv(var, raising=False)
+    assert initialize_distributed() is False
