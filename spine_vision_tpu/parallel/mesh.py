@@ -54,7 +54,9 @@ def initialize_distributed(
     """
     import os
 
-    already = getattr(jax.distributed.global_state, "client", None) is not None
+    from jax._src import distributed as _dist
+
+    already = getattr(_dist.global_state, "client", None) is not None
     if already:
         return False
     has_config = (
