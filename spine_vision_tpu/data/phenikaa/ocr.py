@@ -10,10 +10,13 @@ Flax nets. Structural improvements over the reference:
 - Detector/recognizer satisfy tiny Protocols, so the Phenikaa preprocessing
   pipeline is testable with fake engines (SURVEY.md §4).
 
-Weight loading: both nets read orbax checkpoints trained with this
-framework; without checkpoints they are randomly initialized (useful only
-for shape/pipeline tests — pretrained Paddle/VietOCR weights cannot be
-loaded, the architectures intentionally differ).
+Weight loading: both nets default to the in-repo checkpoints trained on
+rendered Vietnamese report text (spine_vision_tpu/weights/ocr_*.npz,
+produced by train.ocr.train_ocr_stack; CER / box-recall in BASELINE.md).
+Explicit ``variables`` override them; if neither exists they fall back to
+random initialization with a warning (shape/pipeline tests only —
+pretrained Paddle/VietOCR weights cannot be loaded, the architectures
+intentionally differ).
 """
 
 from __future__ import annotations
@@ -44,6 +47,17 @@ class Recognizer(Protocol):
     """Text recognizer protocol: patches [N, h, w] -> N strings."""
 
     def recognize_batch(self, patches: np.ndarray) -> list[str]: ...
+
+
+def _load_default_weights(name: str) -> Any | None:
+    """Load a shipped weight file (weights/<name>.npz) if present."""
+    from spine_vision_tpu.train.ocr import DEFAULT_WEIGHTS_DIR, load_variables_npz
+
+    path = DEFAULT_WEIGHTS_DIR / f"{name}.npz"
+    if path.exists():
+        logger.info("Loading OCR weights: %s", path)
+        return load_variables_npz(path)
+    return None
 
 
 def _to_gray_f32(image: np.ndarray) -> np.ndarray:
@@ -82,6 +96,8 @@ class TextDetector:
         )
 
     def _ensure_variables(self, example: jnp.ndarray) -> Any:
+        if self._variables is None:
+            self._variables = _load_default_weights("ocr_detector")
         if self._variables is None:
             logger.warning(
                 "TextDetector running with randomly initialized weights"
@@ -128,6 +144,8 @@ class TextRecognizer:
         )
 
     def _ensure_variables(self, example: jnp.ndarray) -> Any:
+        if self._variables is None:
+            self._variables = _load_default_weights("ocr_recognizer")
         if self._variables is None:
             logger.warning(
                 "TextRecognizer running with randomly initialized weights"

@@ -1,0 +1,264 @@
+"""Synthetic Vietnamese report-text rendering for OCR training.
+
+The reference ships pretrained PaddleOCR/VietOCR weights (reference
+datasets/phenikaa/ocr.py:24-145); this framework trains its own detector and
+recognizer, and the training data is rendered here: text lines drawn with
+the system's DejaVu fonts (full Vietnamese diacritic coverage) over the
+recognizer charset, plus composite report pages for detection training and
+the end-to-end Phenikaa extraction test.
+
+Everything is deterministic given a numpy Generator.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from spine_vision_tpu.models.textrec import VIETNAMESE_CHARSET
+
+_FONT_DIR = Path("/usr/share/fonts/truetype/dejavu")
+FONT_PATHS = tuple(
+    sorted(str(p) for p in _FONT_DIR.glob("*.ttf"))
+    if _FONT_DIR.exists()
+    else []
+)
+
+# Syllable pools for plausible Vietnamese patient names (diacritic-heavy on
+# purpose — the recognizer must carry the full charset).
+SURNAMES = (
+    "Nguyễn", "Trần", "Lê", "Phạm", "Hoàng", "Huỳnh", "Phan", "Vũ", "Võ",
+    "Đặng", "Bùi", "Đỗ", "Hồ", "Ngô", "Dương", "Lý", "Đào", "Trịnh",
+)
+MIDDLE_NAMES = ("Văn", "Thị", "Hữu", "Đức", "Công", "Quang", "Minh", "Ngọc", "Thu", "Xuân")
+GIVEN_NAMES = (
+    "An", "Bình", "Châu", "Dũng", "Giang", "Hà", "Hải", "Hạnh", "Hiếu",
+    "Hương", "Khánh", "Lan", "Linh", "Long", "Mai", "Nam", "Nga", "Phúc",
+    "Phương", "Quân", "Sơn", "Thảo", "Thắng", "Trang", "Tuấn", "Tùng",
+    "Uyên", "Việt", "Yến", "Đạt",
+)
+
+FIELD_LABELS = (
+    "Họ tên người bệnh",
+    "Ngày sinh",
+    "Số phiếu",
+    "Giới tính",
+    "Địa chỉ",
+    "Chẩn đoán",
+    "Bác sĩ chỉ định",
+)
+
+_CHARS = np.array(list(VIETNAMESE_CHARSET))
+
+
+def sample_name(rng: np.random.Generator) -> str:
+    parts = [
+        SURNAMES[rng.integers(len(SURNAMES))],
+        MIDDLE_NAMES[rng.integers(len(MIDDLE_NAMES))],
+        GIVEN_NAMES[rng.integers(len(GIVEN_NAMES))],
+    ]
+    if rng.random() < 0.3:
+        parts.insert(2, GIVEN_NAMES[rng.integers(len(GIVEN_NAMES))])
+    return " ".join(parts)
+
+
+def sample_date(rng: np.random.Generator) -> str:
+    return (
+        f"{rng.integers(1, 29):02d}/{rng.integers(1, 13):02d}/"
+        f"{rng.integers(1940, 2015)}"
+    )
+
+
+def sample_line_text(rng: np.random.Generator, max_chars: int = 36) -> str:
+    """Field-distribution text mixture for recognizer training."""
+    kind = rng.random()
+    if kind < 0.25:
+        text = sample_name(rng)
+    elif kind < 0.40:
+        text = sample_date(rng)
+    elif kind < 0.52:
+        text = str(rng.integers(10000, 10**9))  # report / patient IDs
+    elif kind < 0.72:
+        label = FIELD_LABELS[rng.integers(len(FIELD_LABELS))]
+        value = (
+            sample_name(rng)
+            if "tên" in label
+            else sample_date(rng)
+            if "sinh" in label
+            else str(rng.integers(1000, 10**7))
+        )
+        text = f"{label}: {value}"
+    else:
+        n = int(rng.integers(3, max_chars))
+        text = "".join(_CHARS[rng.integers(0, len(_CHARS), size=n)])
+    text = text.strip()[:max_chars].strip()
+    return text or "0"
+
+
+def render_line(
+    text: str,
+    rng: np.random.Generator,
+    height: int = 32,
+    width: int = 256,
+    augment: bool = True,
+) -> np.ndarray:
+    """Render one text line: dark glyphs on a light background.
+
+    Returns float32 [height, width] in [0, 255] — the same polarity and
+    scale the page-rectification path feeds the recognizer.
+    """
+    from PIL import Image, ImageDraw, ImageFilter, ImageFont
+
+    font_path = FONT_PATHS[int(rng.integers(len(FONT_PATHS)))]
+    size = int(rng.integers(18, 27)) if augment else 22
+    font = ImageFont.truetype(font_path, size)
+
+    canvas_w = width * 2
+    img = Image.new("L", (canvas_w, height), color=255)
+    draw = ImageDraw.Draw(img)
+    x0 = int(rng.integers(1, 8)) if augment else 3
+    # Vertical centering against the font's reported bbox.
+    bbox = draw.textbbox((0, 0), text, font=font)
+    y0 = max(0, (height - (bbox[3] - bbox[1])) // 2 - bbox[1])
+    draw.text((x0, y0), text, fill=0, font=font)
+
+    used_w = min(canvas_w, bbox[2] - bbox[0] + x0 + 6)
+    arr_img = img.crop((0, 0, max(used_w, 8), height))
+    # Squeeze-or-pad to the fixed patch width (rectified patches are
+    # stretched the same way by rectify_polygons).
+    arr_img = arr_img.resize((width, height), Image.BILINEAR)
+    if augment and rng.random() < 0.3:
+        arr_img = arr_img.filter(ImageFilter.GaussianBlur(radius=0.6))
+    arr = np.asarray(arr_img, dtype=np.float32)
+
+    if augment:
+        contrast = 0.7 + 0.5 * rng.random()
+        brightness = rng.uniform(-20.0, 20.0)
+        arr = np.clip((arr - 128.0) * contrast + 128.0 + brightness, 0, 255)
+        arr = np.clip(arr + rng.normal(0.0, 6.0, arr.shape), 0, 255)
+    return arr.astype(np.float32)
+
+
+def encode_text(text: str, max_len: int) -> tuple[np.ndarray, np.ndarray]:
+    """Text -> (padded CTC target ids [max_len], padding mask [max_len]).
+
+    Character i of the charset maps to logit id i + 1 (0 = blank).
+    """
+    ids = [VIETNAMESE_CHARSET.index(c) + 1 for c in text if c in VIETNAMESE_CHARSET]
+    ids = ids[:max_len]
+    out = np.zeros(max_len, dtype=np.int32)
+    out[: len(ids)] = ids
+    pad = np.ones(max_len, dtype=np.float32)
+    pad[: len(ids)] = 0.0
+    return out, pad
+
+
+def recognition_batch(
+    rng: np.random.Generator,
+    n: int,
+    height: int = 32,
+    width: int = 256,
+    max_len: int = 40,
+    augment: bool = True,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, list[str]]:
+    """Rendered lines + CTC targets: (images [n,h,w], ids, pad, texts)."""
+    texts = [sample_line_text(rng) for _ in range(n)]
+    images = np.stack(
+        [render_line(t, rng, height, width, augment=augment) for t in texts]
+    )
+    encoded = [encode_text(t, max_len) for t in texts]
+    ids = np.stack([e[0] for e in encoded])
+    pad = np.stack([e[1] for e in encoded])
+    return images, ids, pad, texts
+
+
+def detection_page(
+    rng: np.random.Generator,
+    page_hw: tuple[int, int] = (320, 448),
+    max_lines: int = 8,
+    augment: bool = True,
+) -> tuple[np.ndarray, np.ndarray, list[str]]:
+    """Composite page of text lines: (page [H,W], boxes [N,4] xyxy, texts).
+
+    Lines are placed on a jittered row grid so boxes never overlap.
+    """
+    from PIL import Image, ImageDraw, ImageFont
+
+    h, w = page_hw
+    img = Image.new("L", (w, h), color=int(rng.integers(235, 256)))
+    draw = ImageDraw.Draw(img)
+    boxes: list[tuple[float, float, float, float]] = []
+    texts: list[str] = []
+    n_lines = int(rng.integers(3, max_lines + 1))
+    row_height = h // max_lines
+    rows = rng.permutation(max_lines)[:n_lines]
+    for row in sorted(rows):
+        text = sample_line_text(rng, max_chars=28)
+        font_path = FONT_PATHS[int(rng.integers(len(FONT_PATHS)))]
+        size = int(rng.integers(14, 22)) if augment else 18
+        font = ImageFont.truetype(font_path, size)
+        bbox = draw.textbbox((0, 0), text, font=font)
+        tw = bbox[2] - bbox[0]
+        th = bbox[3] - bbox[1]
+        if tw >= w - 16:
+            text = text[: max(4, len(text) // 2)]
+            bbox = draw.textbbox((0, 0), text, font=font)
+            tw, th = bbox[2] - bbox[0], bbox[3] - bbox[1]
+        x = int(rng.integers(8, max(9, w - tw - 8)))
+        y = int(row * row_height + rng.integers(2, max(3, row_height - th - 2)))
+        draw.text((x - bbox[0], y - bbox[1]), text, fill=int(rng.integers(0, 40)), font=font)
+        boxes.append((x - 2, y - 2, x + tw + 2, y + th + 2))
+        texts.append(text)
+    arr = np.asarray(img, dtype=np.float32)
+    if augment:
+        arr = np.clip(arr + rng.normal(0.0, 5.0, arr.shape), 0, 255)
+    return arr.astype(np.float32), np.asarray(boxes, dtype=np.float32), texts
+
+
+def detection_target(
+    boxes: np.ndarray, page_hw: tuple[int, int], scale: int = 2, shrink: float = 0.3
+) -> np.ndarray:
+    """Shrunk-box probability target at 1/scale resolution (DB formulation:
+    the model learns text *kernels*; extract_boxes_from_probmap dilates by
+    the matching unclip ratio)."""
+    h, w = page_hw[0] // scale, page_hw[1] // scale
+    target = np.zeros((h, w), dtype=np.float32)
+    for x1, y1, x2, y2 in np.asarray(boxes, dtype=np.float32) / scale:
+        bw, bh = x2 - x1, y2 - y1
+        sx, sy = bw * shrink / 2.0, bh * shrink / 2.0
+        xa, xb = int(round(x1 + sx)), int(round(x2 - sx))
+        ya, yb = int(round(y1 + sy)), int(round(y2 - sy))
+        target[max(ya, 0) : max(yb, 0), max(xa, 0) : max(xb, 0)] = 1.0
+    return target
+
+
+def render_report_page(
+    patient_name: str,
+    birthday: str,
+    report_id: str,
+    rng: np.random.Generator,
+    page_hw: tuple[int, int] = (448, 640),
+) -> np.ndarray:
+    """A minimal fake Phenikaa report page with the three extraction fields
+    (reference field patterns, phenikaa/__init__.py:34-37) — used by the
+    end-to-end extraction test and CER evaluation."""
+    from PIL import Image, ImageDraw, ImageFont
+
+    h, w = page_hw
+    img = Image.new("L", (w, h), color=250)
+    draw = ImageDraw.Draw(img)
+    font = ImageFont.truetype(FONT_PATHS[0], 20)
+    lines = [
+        "BỆNH VIỆN ĐẠI HỌC PHENIKAA",
+        "PHIẾU CHỈ ĐỊNH CHỤP MRI",
+        f"Số phiếu: {report_id}",
+        f"Họ tên người bệnh: {patient_name}",
+        f"Ngày sinh: {birthday}",
+        "Chẩn đoán: Thoát vị đĩa đệm",
+    ]
+    y = 24
+    for line in lines:
+        draw.text((24, y), line, fill=10, font=font)
+        y += 42
+    return np.asarray(img, dtype=np.float32)
