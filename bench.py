@@ -1,25 +1,28 @@
 """Benchmark harness: prints ONE JSON line for the driver.
 
 Headline metric (BASELINE.json north star): p50 per-study E2E latency of the
-fused two-stage graph (localization -> crop -> grading chained on device).
-``BENCH_METRIC=loc_forward`` selects the alternate metric: images/sec/chip
+fused two-stage graph (localization -> crop -> grading chained on device) in
+horizontal crop mode. The single output line carries the companion metrics
+in ``extra`` (p95, rotated-mode p50/p95, ConvNeXt-512 train-step throughput)
+so round-over-round regressions on any axis are driver-visible; the full
+metric array is also written to BENCH_DETAIL.json.
+
+``BENCH_METRIC=loc_forward`` selects the alternate headline: images/sec/chip
 for the flagship ConvNeXt-base 512x512 localization forward (reference
 default envelope: ConvNeXt-base @ 512^2, batch 32, fp16, single CUDA GPU —
 trainers/localization.py:40,65 + trainers/base.py:95-98).
 
 Measurement protocol: the device this runs on may sit behind a remote tunnel
 where per-call dispatch/fetch round trips dominate a single forward, and
-``block_until_ready`` does not force remote execution. So the timed region is
-ONE jitted call that chains ITERS forwards with a data dependency between
-iterations (lax.scan whose input is perturbed by the previous output so XLA
-cannot hoist the forward out of the loop), fetched once at the end.
+``block_until_ready`` does not force remote execution. Each timed repetition
+is therefore a compiled-call + scalar-fetch pair (pipeline latencies), or a
+single jitted lax.scan chaining ITERS iterations with a data dependency
+(throughput numbers), fetched once.
 
 The reference publishes no numbers (BASELINE.json "published": {}), so
-``vs_baseline`` is computed against REFERENCE_GPU_EST_IMG_S — an estimate of
-the reference's single-GPU fp16 inference throughput for ConvNeXt-base at
-512^2 (~150 img/s, extrapolated from public ConvNeXt-B 224^2 GPU benchmarks
-scaled by the 5.2x pixel count). Revisit when a measured reference number
-exists.
+``vs_baseline`` anchors are documented estimates: ~150 img/s for ConvNeXt-B
+fp16 GPU inference at 512^2, ~250 ms/study for the reference's host-chained
+E2E path. Revisit when measured reference numbers exist.
 """
 
 from __future__ import annotations
@@ -32,26 +35,16 @@ import jax.numpy as jnp
 import numpy as np
 
 REFERENCE_GPU_EST_IMG_S = 150.0
+REFERENCE_GPU_E2E_EST_MS = 250.0
 BATCH = 32
 IMAGE_SIZE = 512
 ITERS = 20
+REPS = 20
 
 
-def bench_study_e2e() -> None:
-    """Fused two-stage per-study E2E latency (BASELINE.json config 4).
-
-    Selected with BENCH_METRIC=study_e2e. Measures p50 per-study latency of
-    the full localization -> crop -> grading graph at a production batch of
-    8 studies (16 series slices).
-    """
-    from spine_vision_tpu.infer import (
-        StudyInferencePipeline,
-        StudyInput,
-        StudyPipelineConfig,
-    )
+def _build_models():
     from spine_vision_tpu.models import Classifier, CoordinateRegressor
 
-    config = StudyPipelineConfig(padded_hw=(768, 768))
     use_pallas = jax.default_backend() == "tpu"  # fused forward kernels (1.66x)
     loc = CoordinateRegressor(
         backbone_name="convnext_base", dtype=jnp.bfloat16, use_pallas=use_pallas
@@ -63,6 +56,18 @@ def bench_study_e2e() -> None:
     cls_vars = jax.jit(lambda r, x: cls.init(r, x, train=False))(
         jax.random.PRNGKey(1), jnp.zeros((1, 256, 256, 3), jnp.bfloat16)
     )
+    return loc, loc_vars, cls, cls_vars
+
+
+def _study_latencies(loc, loc_vars, cls, cls_vars, crop_mode: str) -> np.ndarray:
+    """Per-study latency samples (ms) for the fused pipeline in one mode."""
+    from spine_vision_tpu.infer import (
+        StudyInferencePipeline,
+        StudyInput,
+        StudyPipelineConfig,
+    )
+
+    config = StudyPipelineConfig(padded_hw=(768, 768), crop_mode=crop_mode)
     pipeline = StudyInferencePipeline(loc, loc_vars, cls, cls_vars, config=config)
 
     rng = np.random.default_rng(0)
@@ -76,11 +81,9 @@ def bench_study_e2e() -> None:
         )
         for i in range(8)
     ]
-
-    # Time the compiled graph with device-resident inputs and a scalar
-    # fetch: host<->device transfer is excluded (this environment tunnels
-    # the chip over a network, which would swamp the number; a production
-    # host feeds the chip locally).
+    # Device-resident inputs + scalar fetch: host<->device transfer excluded
+    # (this environment tunnels the chip over a network; a production host
+    # feeds the chip locally).
     slices, hw, spacing = pipeline._pack(studies)
     slices_d = jnp.asarray(slices)
     hw_d = jnp.asarray(hw)
@@ -94,30 +97,89 @@ def bench_study_e2e() -> None:
 
     step()  # compile + warm
     latencies = []
-    for _ in range(5):
+    for _ in range(REPS):
         start = time.perf_counter()
         step()
         latencies.append((time.perf_counter() - start) / len(studies))
-    p50_ms = float(np.percentile(np.asarray(latencies), 50)) * 1000
-    print(
-        json.dumps(
-            {
-                "metric": "study_e2e_latency_p50",
-                "value": round(p50_ms, 2),
-                "unit": "ms/study",
-                "vs_baseline": round(REFERENCE_GPU_E2E_EST_MS / p50_ms, 3),
-            }
-        )
+    return np.asarray(latencies) * 1000.0
+
+
+def _train_step_throughput() -> float:
+    """Raw chained fwd+bwd img/s for the flagship localization train config
+    (ConvNeXt-base @ 512^2, b32, use_pallas='mlp' custom-VJP kernels)."""
+    from spine_vision_tpu.models import CoordinateRegressor
+
+    model = CoordinateRegressor(
+        backbone_name="convnext_base",
+        dtype=jnp.bfloat16,
+        use_pallas="mlp" if jax.default_backend() == "tpu" else False,
+    )
+    variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, IMAGE_SIZE, IMAGE_SIZE, 3), jnp.bfloat16)
+    )
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(BATCH, IMAGE_SIZE, IMAGE_SIZE, 3)),
+        jnp.bfloat16,
     )
 
+    @jax.jit
+    def chained(vars_, images):
+        def body(carry, _):
+            def loss(q):
+                out = model.apply(vars_, q, train=False)
+                return jnp.sum(out.astype(jnp.float32) ** 2)
 
-REFERENCE_GPU_E2E_EST_MS = 250.0
-"""Estimated reference per-study E2E on its single-GPU host-chained path
-(two batch-1 forwards + SimpleITK/cv2 host work per series; no published
-number exists — see module docstring)."""
+            g = jax.grad(loss)(images + carry * 1e-9)
+            return jnp.sum(g).astype(jnp.float32), None
+
+        final, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None, length=10)
+        return final
+
+    float(chained(variables, x))  # compile
+    start = time.perf_counter()
+    float(chained(variables, x))
+    elapsed = time.perf_counter() - start
+    return BATCH * 10 / elapsed
 
 
-def main() -> None:
+def bench_study_e2e() -> None:
+    """Headline: fused two-stage study E2E (BASELINE.json config 4)."""
+    loc, loc_vars, cls, cls_vars = _build_models()
+
+    metrics: list[dict] = []
+    horizontal = _study_latencies(loc, loc_vars, cls, cls_vars, "horizontal")
+    p50 = float(np.percentile(horizontal, 50))
+    p95 = float(np.percentile(horizontal, 95))
+    metrics.append(
+        {
+            "metric": "study_e2e_latency_p50",
+            "value": round(p50, 2),
+            "unit": "ms/study",
+            "vs_baseline": round(REFERENCE_GPU_E2E_EST_MS / p50, 3),
+        }
+    )
+    extra = {"study_e2e_p95_ms": round(p95, 2), "reps": REPS}
+
+    try:
+        rotated = _study_latencies(loc, loc_vars, cls, cls_vars, "rotated")
+        extra["study_e2e_rotated_p50_ms"] = round(float(np.percentile(rotated, 50)), 2)
+        extra["study_e2e_rotated_p95_ms"] = round(float(np.percentile(rotated, 95)), 2)
+    except Exception as exc:  # keep the headline alive
+        extra["study_e2e_rotated_error"] = str(exc)[:200]
+
+    try:
+        fb = _train_step_throughput()
+        extra["convnext512_fwdbwd_img_s"] = round(fb, 1)
+    except Exception as exc:
+        extra["convnext512_fwdbwd_error"] = str(exc)[:200]
+
+    headline = dict(metrics[0], extra=extra)
+    with open("BENCH_DETAIL.json", "w") as f:
+        json.dump({"headline": headline, "metrics": metrics, "extra": extra}, f, indent=1)
+    print(json.dumps(headline))
+
+
+def bench_loc_forward() -> None:
     from spine_vision_tpu.models import CoordinateRegressor
 
     model = CoordinateRegressor(
@@ -147,9 +209,7 @@ def main() -> None:
         dtype=jnp.bfloat16,
     )
 
-    # Warmup: compile + one full execution, forced by the scalar fetch.
-    float(chained_forward(variables, images))
-
+    float(chained_forward(variables, images))  # compile + warm
     start = time.perf_counter()
     float(chained_forward(variables, images))  # fetch forces execution
     elapsed = time.perf_counter() - start
@@ -170,9 +230,7 @@ def main() -> None:
 if __name__ == "__main__":
     import os
 
-    # Headline = the BASELINE.json north-star: fused two-stage per-study E2E.
-    # BENCH_METRIC=loc_forward selects the flagship forward throughput.
     if os.environ.get("BENCH_METRIC") == "loc_forward":
-        main()
+        bench_loc_forward()
     else:
         bench_study_e2e()

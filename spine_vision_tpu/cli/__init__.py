@@ -118,6 +118,23 @@ def _build_parser() -> argparse.ArgumentParser:
     infer.add_argument("-v", "--verbose", action="store_true")
 
     commands.add_parser("bench", help="Run the benchmark harness")
+
+    parity = commands.add_parser(
+        "parity",
+        help="Quality-parity harness: synthetic loc/cls/fused-infer quality run",
+    )
+    parity.add_argument("--output-dir", required=True)
+    parity.add_argument("--seed", type=int, default=0)
+    parity.add_argument("-v", "--verbose", action="store_true")
+
+    ocr = commands.add_parser(
+        "train-ocr", help="Train the OCR detector+recognizer on rendered text"
+    )
+    ocr.add_argument("--output-dir", default=None)
+    ocr.add_argument("--recognizer-steps", type=int, default=4000)
+    ocr.add_argument("--detector-steps", type=int, default=1200)
+    ocr.add_argument("--seed", type=int, default=0)
+    ocr.add_argument("-v", "--verbose", action="store_true")
     return parser
 
 
@@ -251,6 +268,31 @@ def cli(argv: list[str] | None = None) -> int:
 
         bench = Path(__file__).resolve().parents[2] / "bench.py"
         runpy.run_path(str(bench), run_name="__main__")
+        return 0
+
+    if args.command == "parity":
+        import json
+        from pathlib import Path
+
+        from spine_vision_tpu.utils.parity import run_parity
+
+        record = run_parity(Path(args.output_dir), seed=args.seed)
+        print(json.dumps(record, indent=2))
+        return 0 if record["all_pass"] else 1
+
+    if args.command == "train-ocr":
+        import json
+        from pathlib import Path
+
+        from spine_vision_tpu.train.ocr import train_ocr_stack
+
+        metrics = train_ocr_stack(
+            output_dir=Path(args.output_dir) if args.output_dir else None,
+            recognizer_steps=args.recognizer_steps,
+            detector_steps=args.detector_steps,
+            seed=args.seed,
+        )
+        print(json.dumps(metrics, indent=2))
         return 0
 
     parser.error(f"Unknown command: {args.command}")

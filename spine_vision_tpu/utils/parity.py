@@ -1,0 +1,328 @@
+"""Quality-parity harness: a reproducible synthetic end-to-end quality run.
+
+The north-star quality target (BASELINE.json) is coordinate-error / grading
+parity with the reference on real data; until real data exists, this module
+is the stand-in (VERDICT r1 item 9): a deterministic synthetic task where
+ground truth is known exactly, driven through the REAL training and fused
+inference stacks:
+
+1. Localization: trains CoordinateRegressor on rendered spine slices (5
+   textured disc sites per image), reports MED / PCK via the standard
+   evaluator (metric formulas parity-tested against reference
+   training/metrics.py:158-185).
+2. Classification: trains the multi-task Classifier on bar-coded IVD crops
+   (Pfirrmann grade = bar count, herniation = corner block), reports F1.
+3. Fused inference: held-out studies rendered the same way run through
+   StudyInferencePipeline (localization -> crop -> grading in one jit);
+   reports end-to-end localization MED and grading accuracy — the full
+   two-stage system quality, not just per-model numbers.
+
+Outputs a JSON record (thresholds + pass/fail) for BASELINE.md. Runs on the
+8-device virtual CPU mesh in a few minutes; no TPU or real data needed.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+
+from spine_vision_tpu.core import logger
+
+LEVELS = ["L1/L2", "L2/L3", "L3/L4", "L4/L5", "L5/S1"]
+LEVEL_YS = (0.22, 0.35, 0.48, 0.61, 0.74)  # normalized disc-center rows
+SLICE_HW = (192, 192)
+DISC_HALF = 12  # px half-extent of the textured disc site
+CROP_SIZE = (48, 48)
+LOC_SIZE = (96, 96)
+# 1 mm/px spacing and 12 mm deltas -> a 24x24 px crop region around each
+# disc, letterboxed to 48^2 by the fused crop kernel.
+CROP_DELTA_MM = (12.0, 12.0, 12.0, 12.0)
+
+
+def _draw_disc(img: np.ndarray, cx: int, cy: int, grade: int, herniation: int) -> None:
+    """Texture-code one disc site: ``grade`` vertical bars; herniation = a
+    block in the upper-left corner of the site. Texture (not brightness)
+    survives the crop kernel's per-crop min-max normalization."""
+    h = DISC_HALF
+    img[cy - h : cy + h, cx - h : cx + h] = 40.0
+    for bar in range(grade):
+        x = cx - h + 2 + bar * 4
+        img[cy - h + 2 : cy + h - 2, x : x + 2] = 230.0
+    if herniation:
+        img[cy - h : cy - h + 5, cx - h : cx - h + 5] = 255.0
+
+
+def _render_slice(
+    rng: np.random.Generator, grades: np.ndarray, herniations: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """One synthetic sagittal slice; returns (image [H,W], coords [5,2])."""
+    h, w = SLICE_HW
+    img = rng.normal(90.0, 10.0, (h, w)).clip(0, 255)
+    coords = np.zeros((5, 2), np.float32)
+    for i, y_norm in enumerate(LEVEL_YS):
+        x_norm = 0.5 + float(rng.uniform(-0.06, 0.06))
+        cx, cy = int(x_norm * w), int(y_norm * h)
+        _draw_disc(img, cx, cy, int(grades[i]), int(herniations[i]))
+        coords[i] = (x_norm, y_norm)
+    return img.astype(np.float32), coords
+
+
+def _render_crop(rng: np.random.Generator, grade: int, herniation: int) -> np.ndarray:
+    """A training crop drawn exactly like a pipeline-extracted crop: the
+    24x24 disc region resampled to CROP_SIZE (2x)."""
+    region = rng.normal(90.0, 10.0, (24, 24)).clip(0, 255)
+    _draw_disc_region(region, grade, herniation)
+    lo, hi = region.min(), region.max()
+    region = (region - lo) / max(hi - lo, 1e-6) * 255.0
+    return np.repeat(np.repeat(region, 2, axis=0), 2, axis=1).astype(np.uint8)
+
+
+def _draw_disc_region(region: np.ndarray, grade: int, herniation: int) -> None:
+    h = DISC_HALF
+    region[:] = 40.0 + region * 0.0
+    for bar in range(grade):
+        x = 2 + bar * 4
+        region[2 : 2 * h - 2, x : x + 2] = 230.0
+    if herniation:
+        region[0:5, 0:5] = 255.0
+
+
+def _write_loc_dataset(root: Path, rng: np.random.Generator, n_images: int) -> None:
+    from PIL import Image
+
+    (root / "images").mkdir(parents=True)
+    rows = []
+    for i in range(n_images):
+        grades = rng.integers(1, 6, size=5)
+        herns = rng.integers(0, 2, size=5)
+        img, coords = _render_slice(rng, grades, herns)
+        name = f"images/slice_{i}.png"
+        Image.fromarray(img.astype(np.uint8)).convert("RGB").save(root / name)
+        for level, (x, y) in zip(LEVELS, coords):
+            rows.append(
+                {
+                    "image_path": name,
+                    "level": level,
+                    "relative_x": float(x),
+                    "relative_y": float(y),
+                    "series_type": "sag_t2",
+                    "source": "parity",
+                }
+            )
+    with open(root / "annotations.csv", "w", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        writer.writeheader()
+        writer.writerows(rows)
+
+
+def _write_cls_dataset(root: Path, rng: np.random.Generator, n_patients: int) -> None:
+    from PIL import Image
+
+    (root / "images").mkdir(parents=True)
+    rows = []
+    for p in range(n_patients):
+        pid = f"pp{p:03d}"
+        for lvl in (2, 3, 4):
+            grade = int(rng.integers(1, 6))
+            herniation = int(rng.integers(0, 2))
+            for series in ("sag_t1", "sag_t2"):
+                crop = _render_crop(rng, grade, herniation)
+                name = f"images/{pid}_L{lvl}_{series}.png"
+                Image.fromarray(crop).save(root / name)
+                rows.append(
+                    {
+                        "image_path": name,
+                        "patient_id": pid,
+                        "ivd_level": lvl,
+                        "series_type": series,
+                        "source": "parity",
+                        "pfirrmann_grade": grade,
+                        "disc_herniation": herniation,
+                        "disc_narrowing": 0,
+                        "disc_bulging": 0,
+                        "spondylolisthesis": 0,
+                        "modic": 0,
+                        "up_endplate": 0,
+                        "low_endplate": 0,
+                    }
+                )
+    with open(root / "annotations.csv", "w", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        writer.writeheader()
+        writer.writerows(rows)
+
+
+def run_parity(
+    output_dir: Path,
+    seed: int = 0,
+    loc_epochs: int = 8,
+    cls_epochs: int = 8,
+    n_loc_images: int = 64,
+    n_cls_patients: int = 40,
+    n_heldout_studies: int = 8,
+) -> dict[str, Any]:
+    """Run the full parity suite; returns (and writes) the metric record."""
+    import jax
+    import jax.numpy as jnp
+
+    from spine_vision_tpu.infer import (
+        StudyInferencePipeline,
+        StudyInput,
+        StudyPipelineConfig,
+    )
+    from spine_vision_tpu.core.tasks import get_tasks
+    from spine_vision_tpu.train.classification import (
+        ClassificationConfig,
+        ClassificationTrainer,
+    )
+    from spine_vision_tpu.train.localization import (
+        LocalizationConfig,
+        LocalizationTrainer,
+    )
+
+    output_dir = Path(output_dir)
+    rng = np.random.default_rng(seed)
+    record: dict[str, Any] = {"seed": seed}
+
+    # ------------------------------------------------------------------ loc
+    loc_root = output_dir / "loc_data"
+    _write_loc_dataset(loc_root, rng, n_loc_images)
+    loc_config = LocalizationConfig(
+        data_path=loc_root,
+        output_path=output_dir / "loc_run",
+        backbone="resnet18",
+        pretrained=False,
+        image_size=LOC_SIZE,
+        batch_size=8,
+        num_epochs=loc_epochs,
+        learning_rate=2e-3,
+        scheduler_type="cosine",
+        early_stopping=False,
+        mixed_precision=False,
+        visualize_predictions=False,
+        num_workers=0,
+        val_split=0.2,
+        seed=seed,
+    )
+    loc_trainer = LocalizationTrainer(loc_config)
+    loc_trainer.train()
+    loc_metrics = loc_trainer.evaluate()
+    record["loc_med"] = float(loc_metrics.get("med", float("nan")))
+    record["loc_pck_0.10"] = float(loc_metrics.get("pck@0.10", float("nan")))
+    record["loc_med_threshold"] = 0.06
+    record["loc_pass"] = record["loc_med"] < record["loc_med_threshold"]
+    logger.info("parity loc: MED %.4f (threshold 0.06)", record["loc_med"])
+
+    # ------------------------------------------------------------------ cls
+    cls_root = output_dir / "cls_data"
+    _write_cls_dataset(cls_root, rng, n_cls_patients)
+    cls_config = ClassificationConfig(
+        data_path=cls_root,
+        output_path=output_dir / "cls_run",
+        backbone="resnet18",
+        pretrained=False,
+        target_labels=["pfirrmann", "herniation"],
+        output_size=CROP_SIZE,
+        batch_size=8,
+        num_epochs=cls_epochs,
+        learning_rate=2e-3,
+        scheduler_type="cosine",
+        early_stopping=False,
+        augment=False,
+        mixed_precision=False,
+        visualize_predictions=False,
+        num_workers=0,
+        val_split=0.15,
+        seed=seed,
+    )
+    cls_trainer = ClassificationTrainer(cls_config)
+    cls_trainer.train()
+    cls_metrics = cls_trainer.evaluate()
+    record["cls_f1"] = float(
+        cls_metrics.get("f1", cls_metrics.get("macro_f1", float("nan")))
+    )
+    record["cls_pfirrmann_accuracy"] = float(
+        cls_metrics.get("pfirrmann_accuracy", float("nan"))
+    )
+    record["cls_f1_threshold"] = 0.8
+    record["cls_pass"] = record["cls_f1"] > record["cls_f1_threshold"]
+    logger.info("parity cls: F1 %.4f (threshold 0.8)", record["cls_f1"])
+
+    # ---------------------------------------------------------- fused infer
+    pipeline_config = StudyPipelineConfig(
+        loc_image_size=LOC_SIZE,
+        crop_size=CROP_SIZE,
+        crop_delta_mm=CROP_DELTA_MM,
+        padded_hw=SLICE_HW,
+    )
+    tasks = get_tasks(["pfirrmann", "herniation"])
+    pipeline = StudyInferencePipeline(
+        loc_trainer.model,
+        {"params": loc_trainer.state.params},
+        cls_trainer.model,
+        {"params": cls_trainer.state.params},
+        config=pipeline_config,
+        tasks=tasks,
+    )
+
+    studies = []
+    gt_coords = []
+    gt_grades = []
+    gt_herns = []
+    for i in range(n_heldout_studies):
+        grades = rng.integers(1, 6, size=5)
+        herns = rng.integers(0, 2, size=5)
+        t2, coords = _render_slice(rng, grades, herns)
+        t1, _ = _render_slice(rng, grades, herns)
+        studies.append(
+            StudyInput(
+                t1_slice=t1,
+                t2_slice=t2,
+                t1_spacing=(1.0, 1.0),
+                t2_spacing=(1.0, 1.0),
+                study_id=f"parity{i}",
+            )
+        )
+        gt_coords.append(coords)
+        gt_grades.append(grades)
+        gt_herns.append(herns)
+
+    results = pipeline.run(studies)
+    med_norm = []
+    grade_hits = 0
+    hern_hits = 0
+    total = 0
+    for res, coords, grades, herns in zip(results, gt_coords, gt_grades, gt_herns):
+        pred_xy = res.coords[1]  # T2-series predictions [L, 2]
+        med_norm.extend(np.linalg.norm(pred_xy - coords, axis=-1).tolist())
+        pf_pred = np.argmax(res.logits["pfirrmann"], axis=-1) + 1  # [L]
+        hern_pred = (res.logits["herniation"][:, 0] > 0).astype(int)
+        grade_hits += int((pf_pred == grades).sum())
+        hern_hits += int((hern_pred == herns).sum())
+        total += len(grades)
+    record["e2e_loc_med"] = float(np.mean(med_norm))
+    record["e2e_grade_accuracy"] = grade_hits / total
+    record["e2e_herniation_accuracy"] = hern_hits / total
+    record["e2e_loc_med_threshold"] = 0.06
+    record["e2e_grade_accuracy_threshold"] = 0.7
+    record["e2e_pass"] = (
+        record["e2e_loc_med"] < record["e2e_loc_med_threshold"]
+        and record["e2e_grade_accuracy"] > record["e2e_grade_accuracy_threshold"]
+    )
+    logger.info(
+        "parity e2e: MED %.4f grade-acc %.3f herniation-acc %.3f",
+        record["e2e_loc_med"],
+        record["e2e_grade_accuracy"],
+        record["e2e_herniation_accuracy"],
+    )
+
+    record["all_pass"] = bool(
+        record["loc_pass"] and record["cls_pass"] and record["e2e_pass"]
+    )
+    with open(output_dir / "parity_results.json", "w") as f:
+        json.dump(record, f, indent=2)
+    return record
