@@ -110,9 +110,9 @@ def _build_parser() -> argparse.ArgumentParser:
         "--crop-mode", choices=["horizontal", "rotated"], default="horizontal"
     )
     infer.add_argument(
-        "--padded-hw", nargs=2, type=int, default=[1024, 1024],
-        help="Static slice buffer (raise for large-FOV series: a 350 mm "
-        "whole-spine sagittal at 0.3 mm needs ~1536)",
+        "--padded-hw", nargs=2, type=int, default=None,
+        help="Static slice buffer; default auto-buckets (512/768/1024/1536/"
+        "2048) from the loaded series so one compile covers similar sizes",
     )
     infer.add_argument("--output-json", default=None)
     infer.add_argument("-v", "--verbose", action="store_true")
@@ -225,19 +225,33 @@ def cli(argv: list[str] | None = None) -> int:
 
         if len(args.t1) != len(args.t2):
             parser.error("--t1 and --t2 must list the same number of series")
+        studies = [
+            study_input_from_paths(t1, t2, study_id=f"study{i}")
+            for i, (t1, t2) in enumerate(zip(args.t1, args.t2))
+        ]
+        if args.padded_hw is not None:
+            padded_hw = tuple(args.padded_hw)
+        else:
+            # Auto-bucket: smallest standard size covering every slice, so
+            # the compile is reused across runs with similar series instead
+            # of the user guessing a big-enough static buffer.
+            largest = max(
+                max(s.t1_slice.shape + s.t2_slice.shape) for s in studies
+            )
+            padded_hw = next(
+                ((b, b) for b in (512, 768, 1024, 1536, 2048) if b >= largest),
+                (-(-largest // 256) * 256,) * 2,
+            )
+            logger.info("Auto-selected padded_hw bucket: %s", padded_hw)
         pipeline = StudyInferencePipeline.from_checkpoints(
             loc_checkpoint=args.loc_checkpoint,
             cls_checkpoint=args.cls_checkpoint,
             loc_backbone=args.loc_backbone,
             cls_backbone=args.cls_backbone,
             config=StudyPipelineConfig(
-                crop_mode=args.crop_mode, padded_hw=tuple(args.padded_hw)
+                crop_mode=args.crop_mode, padded_hw=padded_hw
             ),
         )
-        studies = [
-            study_input_from_paths(t1, t2, study_id=f"study{i}")
-            for i, (t1, t2) in enumerate(zip(args.t1, args.t2))
-        ]
         results = pipeline.run(studies)
         payload = [
             {

@@ -260,11 +260,17 @@ def run_parity(
         padded_hw=SLICE_HW,
     )
     tasks = get_tasks(["pfirrmann", "herniation"])
+    def _vars(state: Any) -> dict:
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        return variables
+
     pipeline = StudyInferencePipeline(
         loc_trainer.model,
-        {"params": loc_trainer.state.params},
+        _vars(loc_trainer.state),
         cls_trainer.model,
-        {"params": cls_trainer.state.params},
+        _vars(cls_trainer.state),
         config=pipeline_config,
         tasks=tasks,
     )
