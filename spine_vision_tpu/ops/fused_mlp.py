@@ -35,20 +35,33 @@ from jax.experimental.pallas import tpu as pltpu
 MAX_FUSED_DIM = 512
 
 # Fastest measured token tile per channel width (v5e, see module docstring).
-# C=512 at tile_m=2048 exceeds the 16 MB scoped-vmem limit.
-_BEST_TILE_M = {128: 1024, 256: 2048, 512: 1024}
+# C=512 capped at 512: the fast-reciprocal GELU's refinement temporaries
+# push the tile-1024 working set ([tm, 4C] f32 hidden + temps + 4 MB
+# weights) over the scoped-vmem limit.
+_BEST_TILE_M = {128: 1024, 256: 2048, 512: 512}
+
+
+def _fast_recip(w: Array) -> Array:
+    """VPU fast reciprocal + one Newton refinement (kernel-only).
+
+    The hardware rcp (~2^-14 relative; the interpreter's emulation is
+    ~4e-3) squares to well below f32 atol after one x*(2-w*x) step, at ~3
+    VPU ops vs ~10 for a true divide. Only valid inside Pallas kernels.
+    """
+    r = pl.reciprocal(w, approx=True)
+    return r * (2.0 - w * r)
 
 
 def _erf_gelu(x: Array) -> Array:
-    """erf-based GELU via Abramowitz & Stegun 7.1.26 (|err| < 1.5e-7).
+    """erf-based GELU via Abramowitz & Stegun 7.1.26 (|err| < ~2e-6).
 
     Mosaic lowers neither erf nor erfc, so the exact-GELU erf is computed
-    from exp (supported) with the classic rational approximation; 1.5e-7
-    absolute error is at f32 rounding for the activation magnitudes here.
+    from exp (supported) with the classic rational approximation; the
+    division is a refined fast reciprocal (kernel-only helper).
     """
     z = x * (1.0 / math.sqrt(2.0))
     az = jnp.abs(z)
-    t = 1.0 / (1.0 + 0.3275911 * az)
+    t = _fast_recip(1.0 + 0.3275911 * az)
     poly = t * (
         0.254829592
         + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
@@ -56,6 +69,27 @@ def _erf_gelu(x: Array) -> Array:
     erf_abs = 1.0 - poly * jnp.exp(-az * az)
     erf = jnp.sign(z) * erf_abs
     return 0.5 * x * (1.0 + erf)
+
+
+def _gelu_and_grad(x: Array) -> tuple[Array, Array]:
+    """(gelu(x), gelu'(x)) sharing one erf/exp evaluation (f32 in/out).
+
+    gelu'(x) = Phi(x) + x * phi(x) with Phi the normal CDF (from the A&S
+    erf, see :func:`_erf_gelu`) and phi(x) = exp(-x^2/2)/sqrt(2*pi); the
+    exp(-z^2) term of the erf approximation IS exp(-x^2/2), so it is reused.
+    """
+    z = x * (1.0 / math.sqrt(2.0))
+    az = jnp.abs(z)
+    t = _fast_recip(1.0 + 0.3275911 * az)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    exp_term = jnp.exp(-az * az)
+    erf = jnp.sign(z) * (1.0 - poly * exp_term)
+    cdf = 0.5 * (1.0 + erf)
+    pdf = exp_term * (1.0 / math.sqrt(2.0 * math.pi))
+    return x * cdf, cdf + x * pdf
 
 
 def _mlp_core(x_ref, w1_ref, b1_ref, w2_ref, b2_ref):
@@ -139,6 +173,193 @@ def _pallas_mlp(
     return out[:m]
 
 
+# Backward token tile / H chunk per channel width. Chunking H keeps the
+# weight blocks + f32 weight-grad accumulators + activation temps inside
+# VMEM at C=512 (w1+w2 1 MB resident per chunk, dw1+dw2 8 MB accumulated
+# in the revisited output blocks).
+_BWD_TILE_M = {128: 1024, 256: 512, 512: 256}
+_BWD_HCHUNK = {128: 512, 256: 1024, 512: 512}
+
+
+def _mlp_bwd_kernel(
+    x_ref,
+    g_ref,
+    w1_ref,
+    b1_ref,
+    w2_ref,
+    b2_ref,
+    gamma_ref,
+    dx_ref,
+    dw1_ref,
+    db1_ref,
+    dw2_ref,
+    db2_ref,
+    dgamma_ref,
+):
+    """One (token-tile i, H-chunk j) backward step.
+
+    Grid is (num_token_tiles, num_h_chunks) with j innermost, so the
+    fixed-index accumulator outputs (dw1/db1/dw2/db2/dgamma and, within one
+    i, dx) are revisited on consecutive steps and stay VMEM-resident; each
+    step recomputes its hidden chunk from x so nothing hidden-sized ever
+    touches HBM (the point of the kernel: XLA's backward round-trips the
+    4C-wide hidden twice).
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    hc = w1_ref.shape[1]
+
+    x = x_ref[:]
+    gf = g_ref[:].astype(jnp.float32)
+
+    # Recompute this H chunk of the hidden (checkpoint-style).
+    hpre = jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32)
+    hpre = hpre + b1_ref[0, :].astype(jnp.float32)
+    h, dgelu = _gelu_and_grad(hpre)
+    h_lp = h.astype(x.dtype)
+
+    # dgamma needs out_mlp = sum_j h_j @ w2_j + b2.
+    out_mlp_part = jnp.dot(h_lp, w2_ref[:], preferred_element_type=jnp.float32)
+    dgamma_part = jnp.sum(gf * out_mlp_part, axis=0, keepdims=True)
+
+    gamma_f = gamma_ref[0, :].astype(jnp.float32)
+    g_mlp_f = gf * gamma_f
+    g_mlp = g_mlp_f.astype(x.dtype)
+
+    g_h = jax.lax.dot_general(
+        g_mlp, w2_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    g_hpre_f = g_h * dgelu
+    g_hpre = g_hpre_f.astype(x.dtype)
+
+    dx_part = jax.lax.dot_general(
+        g_hpre, w1_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dw1_part = jax.lax.dot_general(
+        x, g_hpre, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dw2_part = jax.lax.dot_general(
+        h_lp, g_mlp, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    db1_part = jnp.sum(g_hpre_f, axis=0, keepdims=True)
+
+    @pl.when(j == 0)
+    def _():
+        dx_ref[:] = dx_part.astype(dx_ref.dtype)
+
+    @pl.when(j > 0)
+    def _():
+        dx_ref[:] += dx_part.astype(dx_ref.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        dw1_ref[:, pl.ds(j * hc, hc)] = dw1_part
+        db1_ref[:, pl.ds(j * hc, hc)] = db1_part
+        dw2_ref[pl.ds(j * hc, hc), :] = dw2_part
+
+    @pl.when(i > 0)
+    def _():
+        dw1_ref[:, pl.ds(j * hc, hc)] += dw1_part
+        db1_ref[:, pl.ds(j * hc, hc)] += db1_part
+        dw2_ref[pl.ds(j * hc, hc), :] += dw2_part
+
+    # db2 and the b2 term of dgamma are H-independent: add once per i.
+    db2_part = jnp.sum(g_mlp_f, axis=0, keepdims=True)
+    dgamma_b2 = jnp.sum(gf, axis=0, keepdims=True) * b2_ref[0, :].astype(
+        jnp.float32
+    )
+    first = jnp.logical_and(i == 0, j == 0)
+
+    @pl.when(first)
+    def _():
+        db2_ref[:] = db2_part
+        dgamma_ref[:] = dgamma_part + dgamma_b2
+
+    @pl.when(jnp.logical_and(j == 0, i > 0))
+    def _():
+        db2_ref[:] += db2_part
+        dgamma_ref[:] += dgamma_part + dgamma_b2
+
+    @pl.when(j > 0)
+    def _():
+        dgamma_ref[:] += dgamma_part
+
+
+def _mlp_bwd_pallas(
+    x: Array,
+    w1: Array,
+    b1: Array,
+    w2: Array,
+    b2: Array,
+    gamma: Array,
+    g: Array,
+    interpret: bool,
+) -> tuple[Array, Array, Array, Array, Array, Array]:
+    """Pallas backward of the fused MLP tail (d_residual = g, by caller).
+
+    Returns (dx, dw1, db1, dw2, db2, dgamma); dx and the weight grads are
+    f32 (chunk-accumulated), cast to primal dtypes by the VJP wrapper.
+    """
+    m, c = x.shape
+    h = w1.shape[1]
+    tm = min(_BWD_TILE_M.get(c, 256), m)
+    hc = _BWD_HCHUNK.get(c, 512)
+    if h % hc != 0:
+        hc = h
+    num_tiles = (m + tm - 1) // tm
+    padded_m = num_tiles * tm
+    if padded_m != m:
+        # Zero-padding g zeroes every padded row's grad contribution.
+        x = jnp.pad(x, ((0, padded_m - m), (0, 0)))
+        g = jnp.pad(g, ((0, padded_m - m), (0, 0)))
+    num_h = h // hc
+    # dx is written once per token tile when H fits one chunk -> emit it in
+    # the input dtype (halves the dominant HBM write); chunked accumulation
+    # (C=512) stays f32 for exact summation.
+    dx_dtype = x.dtype if num_h == 1 else jnp.float32
+
+    tok = pl.BlockSpec((tm, c), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    dx_spec = pl.BlockSpec((tm, c), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    fix = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM
+    )
+
+    outs = pl.pallas_call(
+        _mlp_bwd_kernel,
+        grid=(num_tiles, num_h),
+        in_specs=[
+            tok,
+            tok,
+            pl.BlockSpec((c, hc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hc, c), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            fix((1, c)),
+            fix((1, c)),
+        ],
+        out_specs=[
+            dx_spec,
+            fix((c, h)),
+            fix((1, h)),
+            fix((h, c)),
+            fix((1, c)),
+            fix((1, c)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((padded_m, c), dx_dtype),
+            jax.ShapeDtypeStruct((c, h), jnp.float32),
+            jax.ShapeDtypeStruct((1, h), jnp.float32),
+            jax.ShapeDtypeStruct((h, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, g, w1, b1.reshape(1, h), w2, b2.reshape(1, c), gamma.reshape(1, c))
+    dx, dw1, db1, dw2, db2, dgamma = outs
+    return dx[:m], dw1, db1, dw2, db2, dgamma
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
 def _fused_mlp_ad(
     x: Array,
@@ -151,10 +372,10 @@ def _fused_mlp_ad(
     tile_m: int | None,
     interpret: bool,
 ) -> Array:
-    """Differentiable fused MLP tail: forward = Pallas, backward = XLA
-    recompute (checkpoint-style: only the primal inputs are saved; the 4C
-    hidden is recomputed in the backward pass, trading two cheap MXU
-    matmuls for not storing/reloading the hidden through HBM)."""
+    """Differentiable fused MLP tail: forward AND backward are Pallas
+    kernels (checkpoint-style: only the primal inputs are saved; the 4C
+    hidden is recomputed chunk-wise in VMEM by the backward kernel, so it
+    never round-trips HBM in either direction)."""
     return _pallas_mlp(x, w1, b1, w2, b2, gamma, residual, tile_m, interpret)
 
 
@@ -165,8 +386,18 @@ def _fused_mlp_fwd(x, w1, b1, w2, b2, gamma, residual, tile_m, interpret):
 
 def _fused_mlp_bwd(tile_m, interpret, saved, g):
     x, w1, b1, w2, b2, gamma, residual = saved
-    _, vjp = jax.vjp(mlp_reference, x, w1, b1, w2, b2, gamma, residual)
-    return vjp(g)
+    dx, dw1, db1, dw2, db2, dgamma = _mlp_bwd_pallas(
+        x, w1, b1, w2, b2, gamma, g, interpret
+    )
+    return (
+        dx.astype(x.dtype),
+        dw1.astype(w1.dtype),
+        db1.reshape(b1.shape).astype(b1.dtype),
+        dw2.astype(w2.dtype),
+        db2.reshape(b2.shape).astype(b2.dtype),
+        dgamma.reshape(gamma.shape).astype(gamma.dtype),
+        g.astype(residual.dtype),
+    )
 
 
 _fused_mlp_ad.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)
@@ -182,8 +413,8 @@ def _fused_mlp_plain_ad(
     tile_m: int | None,
     interpret: bool,
 ) -> Array:
-    """Differentiable no-tail fused MLP (same fwd-Pallas / bwd-XLA-recompute
-    contract as the tail variant, without streaming a zeros residual)."""
+    """Differentiable no-tail fused MLP (same fwd+bwd Pallas contract as
+    the tail variant, without streaming a zeros residual)."""
     return _pallas_mlp(x, w1, b1, w2, b2, None, None, tile_m, interpret)
 
 
@@ -194,8 +425,15 @@ def _fused_mlp_plain_fwd(x, w1, b1, w2, b2, tile_m, interpret):
 
 def _fused_mlp_plain_bwd(tile_m, interpret, saved, g):
     x, w1, b1, w2, b2 = saved
-    _, vjp = jax.vjp(mlp_reference, x, w1, b1, w2, b2)
-    return vjp(g)
+    ones = jnp.ones((x.shape[1],), jnp.float32)
+    dx, dw1, db1, dw2, db2, _ = _mlp_bwd_pallas(x, w1, b1, w2, b2, ones, g, interpret)
+    return (
+        dx.astype(x.dtype),
+        dw1.astype(w1.dtype),
+        db1.reshape(b1.shape).astype(b1.dtype),
+        dw2.astype(w2.dtype),
+        db2.reshape(b2.shape).astype(b2.dtype),
+    )
 
 
 _fused_mlp_plain_ad.defvjp(_fused_mlp_plain_fwd, _fused_mlp_plain_bwd)

@@ -98,6 +98,10 @@ class ClassificationConfig(TrainingConfig):
     """Fused Pallas ConvNeXt-MLP kernel (custom VJP) — TPU-only, no effect
     on non-ConvNeXt backbones. See LocalizationConfig.use_pallas_mlp."""
 
+    use_pallas_dwconv: bool = False
+    """Also use the fused Pallas dwconv+LayerNorm kernel (custom VJP);
+    requires use_pallas_mlp. TPU-only."""
+
     use_focal_loss: bool = False
     focal_gamma: float = 2.0
     focal_alpha: float | None = None
@@ -166,7 +170,11 @@ class ClassificationTrainer(BaseTrainer[ClassificationConfig]):
                 tasks=tuple(tasks),
                 dropout=config.dropout,
                 dtype=jnp.bfloat16 if config.mixed_precision else jnp.float32,
-                use_pallas="mlp" if config.use_pallas_mlp else False,
+                use_pallas=(
+                    True
+                    if config.use_pallas_mlp and config.use_pallas_dwconv
+                    else ("mlp" if config.use_pallas_mlp else False)
+                ),
             )
 
         self._tasks = tasks

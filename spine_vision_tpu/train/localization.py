@@ -46,9 +46,13 @@ class LocalizationConfig(TrainingConfig):
     augment: bool = True
 
     use_pallas_mlp: bool = False
-    """Use the fused Pallas ConvNeXt-MLP kernel (custom VJP) in training.
-    TPU-only (+4% measured train step for convnext_base@512); no effect on
-    non-ConvNeXt backbones. Checkpoints are interchangeable either way."""
+    """Use the fused Pallas ConvNeXt-MLP kernel (custom VJP, Pallas fwd+bwd)
+    in training. TPU-only; no effect on non-ConvNeXt backbones. Checkpoints
+    are interchangeable either way."""
+
+    use_pallas_dwconv: bool = False
+    """Also use the fused Pallas dwconv+LayerNorm kernel (custom VJP, Pallas
+    fwd+bwd) in training; requires use_pallas_mlp. TPU-only."""
 
     pck_thresholds: list[float] = [0.02, 0.05, 0.10]
     visualize_predictions: bool = True
@@ -73,7 +77,11 @@ class LocalizationTrainer(BaseTrainer[LocalizationConfig]):
                 num_levels=config.num_levels,
                 dropout=config.dropout,
                 dtype=jnp.bfloat16 if config.mixed_precision else jnp.float32,
-                use_pallas="mlp" if config.use_pallas_mlp else False,
+                use_pallas=(
+                    True
+                    if config.use_pallas_mlp and config.use_pallas_dwconv
+                    else ("mlp" if config.use_pallas_mlp else False)
+                ),
             )
         if train_dataset is None:
             train_dataset = LocalizationDataset(

@@ -80,3 +80,38 @@ def test_fused_dwconv_ln_gradients_match_reference():
             np.asarray(ga), np.asarray(wa), atol=5e-3, rtol=1e-4,
             err_msg=f"grad mismatch for arg {i}",
         )
+
+
+def test_fused_dwconv_ln_gradients_multi_tile_batch():
+    """Backward accumulates d_kernel/d_bias/d_scale/d_beta across (batch,
+    h-tile) grid steps; H not a tile multiple exercises zero-padded rows."""
+    import jax
+
+    from spine_vision_tpu.ops.dwconv import depthwise_conv7x7_ln
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(2, 20, 8, 128)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(7, 7, 128)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(128,)), jnp.float32)
+    scale = jnp.asarray(rng.normal(size=(128,)) + 1.0, jnp.float32)
+    beta = jnp.asarray(rng.normal(size=(128,)), jnp.float32)
+
+    def loss_fused(x, k, b, scale, beta):
+        out = depthwise_conv7x7_ln(x, k, b, scale, beta, tile_h=8, interpret=True)
+        return jnp.sum(out * out)
+
+    def loss_ref(x, k, b, scale, beta):
+        y = depthwise_conv7x7_reference(x, k) + b
+        mu = jnp.mean(y, -1, keepdims=True)
+        var = jnp.var(y, -1, keepdims=True)
+        out = (y - mu) * jax.lax.rsqrt(var + 1e-6) * scale + beta
+        return jnp.sum(out * out)
+
+    got = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(x, k, b, scale, beta)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, k, b, scale, beta)
+    for i, (ga, wa) in enumerate(zip(got, want)):
+        scale_i = max(1.0, float(jnp.max(jnp.abs(wa))))
+        np.testing.assert_allclose(
+            np.asarray(ga) / scale_i, np.asarray(wa) / scale_i, atol=5e-4,
+            err_msg=f"grad mismatch for arg {i}",
+        )

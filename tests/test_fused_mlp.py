@@ -194,3 +194,41 @@ def test_large_dim_falls_back_to_xla():
     got = fused_mlp(x, w1, b1, w2, b2, interpret=True)
     want = mlp_reference(x, w1, b1, w2, b2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_gradients_multi_hchunk_path():
+    """C=512 routes the backward through 4 H-chunks (hc=512 < H=2048);
+    chunk-accumulated weight grads must match the XLA reference."""
+    import jax
+
+    rng = np.random.default_rng(8)
+    m, c = 320, 512  # m not a tile multiple: exercises zero-padded rows too
+    args = (
+        jnp.asarray(rng.normal(size=(m, c)), jnp.float32),
+        jnp.asarray(rng.normal(size=(c, 4 * c)) * 0.02, jnp.float32),
+        jnp.asarray(rng.normal(size=(4 * c,)) * 0.1, jnp.float32),
+        jnp.asarray(rng.normal(size=(4 * c, c)) * 0.02, jnp.float32),
+        jnp.asarray(rng.normal(size=(c,)) * 0.1, jnp.float32),
+        jnp.asarray(rng.normal(size=(c,)) * 1e-2, jnp.float32),
+        jnp.asarray(rng.normal(size=(m, c)), jnp.float32),
+    )
+
+    def loss_fused(*a):
+        out = fused_mlp(
+            a[0], a[1], a[2], a[3], a[4], gamma=a[5], residual=a[6],
+            interpret=True,
+        )
+        return jnp.sum(out * out)
+
+    def loss_ref(*a):
+        out = mlp_reference(a[0], a[1], a[2], a[3], a[4], gamma=a[5], residual=a[6])
+        return jnp.sum(out * out)
+
+    got = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
+    want = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+    for i, (ga, wa) in enumerate(zip(got, want)):
+        scale = max(1.0, float(jnp.max(jnp.abs(wa))))
+        np.testing.assert_allclose(
+            np.asarray(ga) / scale, np.asarray(wa) / scale, atol=5e-3,
+            err_msg=f"grad mismatch for arg {i}",
+        )
