@@ -133,6 +133,50 @@ class ConvNeXtBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        from spine_vision_tpu.ops.fused_mlp import MAX_FUSED_DIM
+
+        if (
+            self.use_pallas_dwconv
+            and self.use_pallas_mlp
+            and not self.use_grn
+            and self.dim <= MAX_FUSED_DIM
+        ):
+            # Whole-block megakernel (ops.convnext_block): dwconv+LN+MLP+
+            # LayerScale+residual with ONE HBM read of x and ONE write of
+            # the output (the block ops are streaming-bound — see the
+            # module docstring there). Param tree identical to the XLA
+            # path, so checkpoints are interchangeable with the flags off.
+            import jax
+
+            from spine_vision_tpu.ops.convnext_block import convnext_block_fused
+
+            kernel, bias = _DwConvParams(self.dim, name="dwconv")()
+            scale, beta = _LayerNormParams(self.dim, name="norm")()
+            w1, b1 = _DenseParams(self.dim, 4 * self.dim, name="pwconv1")()
+            w2, b2 = _DenseParams(4 * self.dim, self.dim, name="pwconv2")()
+            gamma = (
+                self.param(
+                    "gamma",
+                    nn.initializers.constant(self.layer_scale_init),
+                    (self.dim,),
+                )
+                if self.layer_scale_init > 0
+                else jnp.ones((self.dim,), jnp.float32)
+            )
+            return convnext_block_fused(
+                x.astype(self.dtype),
+                kernel.reshape(7, 7, self.dim).astype(self.dtype),
+                bias,
+                scale,
+                beta,
+                w1.astype(self.dtype),
+                b1,
+                w2.astype(self.dtype),
+                b2,
+                gamma,
+                interpret=jax.default_backend() == "cpu",
+            )
+
         residual = x
         if self.use_pallas_dwconv:
             # Fused Pallas dwconv+bias+LayerNorm (ops.dwconv): measured
