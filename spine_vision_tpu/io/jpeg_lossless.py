@@ -149,14 +149,14 @@ def _parse_markers(data: bytes):
             table_ids = [seg[2 + 2 * i] >> 4 for i in range(ns)]
             psv = seg[1 + 2 * ns]  # Ss = predictor selection value
             al = seg[3 + 2 * ns] & 0x0F  # point transform
-            # Entropy-coded data runs to the next non-RST marker.
-            ep = pos + length
-            while ep + 1 < n:
-                if data[ep] == 0xFF and data[ep + 1] != 0x00 and not (
-                    _RST0 <= data[ep + 1] <= _RST7
-                ):
-                    break
-                ep += 1
+            # Entropy-coded data runs to the next non-RST marker
+            # (vectorized: the per-byte Python scan cost ~120 ms/slice).
+            start = pos + length
+            arr = np.frombuffer(data, dtype=np.uint8)
+            ff = np.flatnonzero(arr[start : n - 1] == 0xFF)
+            nxt = arr[start + 1 :][ff]
+            real = ff[(nxt != 0x00) & ((nxt < _RST0) | (nxt > _RST7))]
+            ep = start + int(real[0]) if real.size else max(start, n - 1)
             scans.append(
                 (selectors, table_ids, psv, al, data[pos + length : ep],
                  [tables[t] for t in table_ids], restart_interval)
@@ -296,8 +296,20 @@ def decode_jpeg_lossless(data: bytes) -> np.ndarray:
     planes: dict[int, np.ndarray] = {}
     for selectors, _tids, psv, al, entropy, luts, ri in scans:
         ncomp = len(selectors)
-        chunks = _split_restart_intervals(entropy)
-        diffs = _decode_diffs(chunks, luts, ri, rows * cols, ncomp)
+        diffs = None
+        try:  # C++ hot loops (native/src/host_ops.cpp); None if unavailable
+            from spine_vision_tpu import native
+
+            unstuffed = native.jpegls_unstuff_split(entropy)
+            if unstuffed is not None:
+                diffs = native.jpegls_decode_diffs_raw(
+                    *unstuffed, luts, ri, rows * cols, ncomp
+                )
+        except ValueError as exc:
+            raise JpegLosslessError(str(exc)) from exc
+        if diffs is None:
+            chunks = _split_restart_intervals(entropy)
+            diffs = _decode_diffs(chunks, luts, ri, rows * cols, ncomp)
         for ci, sel in enumerate(selectors):
             planes[sel] = _reconstruct(
                 diffs[:, ci], rows, cols, psv, frame.precision, al

@@ -26,7 +26,12 @@ _build_failed = False
 def build(force: bool = False) -> bool:
     """Compile the shared library with g++ (-O3 -fopenmp). Returns success."""
     global _build_failed
-    if _LIB_PATH.exists() and not force:
+    stale = (
+        _LIB_PATH.exists()
+        and _SRC.exists()
+        and _SRC.stat().st_mtime > _LIB_PATH.stat().st_mtime
+    )
+    if _LIB_PATH.exists() and not force and not stale:
         return True
     cmd = [
         "g++",
@@ -73,6 +78,27 @@ def _load() -> ctypes.CDLL | None:
     lib.normalize_minmax_u8.restype = None
     lib.assemble_t2t1t2_batch.argtypes = [u8, u8, u8, i64, i64, i64]
     lib.assemble_t2t1t2_batch.restype = ctypes.c_int
+    if hasattr(lib, "jpegls_decode_diffs"):
+        lib.jpegls_decode_diffs.argtypes = [
+            u8,
+            ctypes.POINTER(ctypes.c_int64),
+            i64,
+            ctypes.POINTER(ctypes.c_uint16),
+            i64,
+            i64,
+            i64,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.jpegls_decode_diffs.restype = i64
+    if hasattr(lib, "jpegls_unstuff_split"):
+        lib.jpegls_unstuff_split.argtypes = [
+            u8,
+            i64,
+            u8,
+            ctypes.POINTER(ctypes.c_int64),
+            i64,
+        ]
+        lib.jpegls_unstuff_split.restype = i64
     _lib = lib
     return lib
 
@@ -124,6 +150,86 @@ def _resize_fallback(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     top = a * (1 - wx) + b * wx
     bot = c * (1 - wx) + d * wx
     return (top * (1 - wy) + bot * wy + 0.5).astype(np.uint8)
+
+
+def jpegls_unstuff_split(entropy: bytes) -> tuple[np.ndarray, np.ndarray] | None:
+    """Native 0xFF00-unstuff + RSTn split of a JPEG entropy segment.
+
+    Returns (data uint8 [n_unstuffed], offsets int64 [n_chunks + 1]) or
+    None when the native library is unavailable.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "jpegls_unstuff_split"):
+        return None
+    raw = np.frombuffer(entropy, dtype=np.uint8)
+    out = np.empty(max(1, raw.size), dtype=np.uint8)
+    max_chunks = raw.size // 2 + 3
+    offsets = np.zeros(max_chunks + 1, dtype=np.int64)
+    n_chunks = lib.jpegls_unstuff_split(
+        _u8ptr(raw),
+        raw.size,
+        _u8ptr(out),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        max_chunks,
+    )
+    if n_chunks < 0:  # cannot happen with the sizing above; defensive
+        return None
+    return out[: offsets[n_chunks]], offsets[: n_chunks + 1]
+
+
+def jpegls_decode_diffs_raw(
+    data: np.ndarray,
+    offsets: np.ndarray,
+    luts: list[np.ndarray],
+    counts_per_interval: int,
+    total: int,
+    ncomp: int,
+) -> np.ndarray | None:
+    """Native JPEG-Lossless entropy decode over pre-split chunk data.
+
+    ``data``/``offsets`` as returned by :func:`jpegls_unstuff_split`.
+    Returns int32 [total, ncomp], or None when the library is unavailable.
+    Raises ValueError on an invalid/truncated stream, mirroring the Python
+    decoder's errors.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "jpegls_decode_diffs"):
+        return None
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    luts_arr = np.ascontiguousarray(np.stack(luts), dtype=np.uint16)
+    out = np.empty((total, ncomp), dtype=np.int32)
+    got = lib.jpegls_decode_diffs(
+        _u8ptr(data),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(offsets) - 1,
+        luts_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        ncomp,
+        counts_per_interval,
+        total,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if got < 0:
+        raise ValueError("Invalid Huffman code")
+    if got < total:
+        raise ValueError(f"Truncated scan: {got}/{total} samples")
+    return out
+
+
+def jpegls_decode_diffs(
+    chunks: list[bytes],
+    luts: list[np.ndarray],
+    counts_per_interval: int,
+    total: int,
+    ncomp: int,
+) -> np.ndarray | None:
+    """Native JPEG-Lossless entropy decode over already-split chunks."""
+    data = np.frombuffer(b"".join(chunks), dtype=np.uint8)
+    offsets = np.zeros(len(chunks) + 1, dtype=np.int64)
+    np.cumsum([len(c) for c in chunks], out=offsets[1:])
+    return jpegls_decode_diffs_raw(
+        data, offsets, luts, counts_per_interval, total, ncomp
+    )
 
 
 def normalize_minmax_u8(array: np.ndarray) -> np.ndarray:

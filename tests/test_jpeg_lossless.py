@@ -127,3 +127,24 @@ def test_jpegll_dicom_matches_uncompressed_twin(tmp_path):
     jll = read_dicom_series(jll_dir)
     np.testing.assert_array_equal(plain.array, jll.array)
     np.testing.assert_allclose(plain.spacing, jll.spacing)
+
+
+def test_native_decode_matches_python_fallback():
+    """The C++ entropy decoder (native.jpegls_decode_diffs) and the Python
+    fallback must produce identical diffs — decode the same stream with the
+    native path active and with it forced off."""
+    from unittest import mock
+
+    from spine_vision_tpu.io import jpeg_lossless as jl
+
+    rng = np.random.default_rng(11)
+    img = (rng.integers(0, 4096, size=(64, 64))).astype(np.uint16)
+    data = jl.encode_jpeg_lossless(img, psv=1)
+
+    got_native = jl.decode_jpeg_lossless(data)
+    with mock.patch(
+        "spine_vision_tpu.native.jpegls_unstuff_split", return_value=None
+    ):
+        got_python = jl.decode_jpeg_lossless(data)
+    np.testing.assert_array_equal(got_native, got_python)
+    np.testing.assert_array_equal(got_native, img)
