@@ -28,6 +28,23 @@ def write_medical_image(
         write_metaimage(image, output_path, use_compression=use_compression)
     elif name.endswith(".nrrd"):
         write_nrrd(image, output_path, use_compression=use_compression)
+    elif name.endswith(".dcm") or not output_path.suffix:
+        # Mirrors the read-side convention (readers.detect_format: a
+        # directory is a DICOM series): an extensionless target writes one
+        # .dcm per slice into that directory; a .dcm target holds a single
+        # slice.
+        from spine_vision_tpu.io.dicom_write import write_dicom_series
+
+        if name.endswith(".dcm"):
+            if image.array.ndim == 3 and image.array.shape[0] > 1:
+                raise ValueError(
+                    "Single .dcm target but multi-slice volume; write to a "
+                    "directory (no extension) for a DICOM series"
+                )
+            paths = write_dicom_series(image, output_path.parent)
+            paths[0].rename(output_path)
+        else:
+            write_dicom_series(image, output_path)
     else:
         raise ValueError(f"Unsupported output format: {output_path}")
 

@@ -100,6 +100,37 @@ def test_write_read_roundtrip(tmp_path, suffix):
     np.testing.assert_allclose(back.spacing, image.spacing, rtol=1e-5)
 
 
+def test_dicom_series_write_read_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    volume = rng.integers(-500, 3000, (4, 16, 12)).astype(np.int16)
+    image = MedicalImage(
+        array=volume, spacing=(0.6, 0.8, 3.0), origin=(5.0, -7.0, 2.0)
+    )
+    out = tmp_path / "series"
+    write_medical_image(image, out)
+    assert len(list(out.glob("*.dcm"))) == 4
+    back = read_medical_image(out)
+    np.testing.assert_array_equal(back.array, volume)
+    np.testing.assert_allclose(back.spacing, image.spacing, rtol=1e-5)
+    np.testing.assert_allclose(back.origin, image.origin, atol=1e-5)
+
+
+def test_dicom_single_file_write_read_roundtrip(tmp_path):
+    rng = np.random.default_rng(2)
+    plane = rng.integers(0, 4000, (1, 10, 14)).astype(np.uint16)
+    image = MedicalImage(array=plane, spacing=(0.5, 0.5, 1.0))
+    path = tmp_path / "slice.dcm"
+    write_medical_image(image, path)
+    back = read_medical_image(path)
+    np.testing.assert_array_equal(np.squeeze(back.array), plane[0])
+
+
+def test_dicom_write_rejects_float(tmp_path):
+    image = MedicalImage(array=np.zeros((2, 4, 4), dtype=np.float32))
+    with pytest.raises(ValueError, match="integer"):
+        write_medical_image(image, tmp_path / "series")
+
+
 def test_nrrd_space_directions_none(tmp_path):
     """Regression: 'none' tokens for non-spatial axes crashed the parser."""
     data = np.arange(2 * 4 * 5, dtype=np.float32).reshape(5, 4, 2)
