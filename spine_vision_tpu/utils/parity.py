@@ -37,10 +37,14 @@ LEVEL_YS = (0.22, 0.35, 0.48, 0.61, 0.74)  # normalized disc-center rows
 SLICE_HW = (192, 192)
 DISC_HALF = 12  # px half-extent of the textured disc site
 CROP_SIZE = (48, 48)
-LOC_SIZE = (96, 96)
-# 1 mm/px spacing and 12 mm deltas -> a 24x24 px crop region around each
-# disc, letterboxed to 48^2 by the fused crop kernel.
-CROP_DELTA_MM = (12.0, 12.0, 12.0, 12.0)
+LOC_SIZE = (128, 128)
+# 1 mm/px spacing and 24 mm deltas -> a 48x48 px crop region around each
+# 24x24 disc site (scale 1:1 into CROP_SIZE). The 12 px margin keeps every
+# grade bar inside the crop under the localization model's residual center
+# error (~7 px MED on this task); the reference sizes its mm deltas with
+# the same margin logic, crop_delta_mm=(55,15,17.5,20) around ~30 mm
+# discs, datasets/classification/config.py:12-83.
+CROP_DELTA_MM = (24.0, 24.0, 24.0, 24.0)
 
 
 def _draw_disc(img: np.ndarray, cx: int, cy: int, grade: int, herniation: int) -> None:
@@ -71,24 +75,26 @@ def _render_slice(
     return img.astype(np.float32), coords
 
 
-def _render_crop(rng: np.random.Generator, grade: int, herniation: int) -> np.ndarray:
-    """A training crop drawn exactly like a pipeline-extracted crop: the
-    24x24 disc region resampled to CROP_SIZE (2x)."""
-    region = rng.normal(90.0, 10.0, (24, 24)).clip(0, 255)
-    _draw_disc_region(region, grade, herniation)
+def _window_crop(
+    img: np.ndarray, cx: int, cy: int, rng: np.random.Generator
+) -> np.ndarray:
+    """Extract one training crop from a full rendered slice, exactly like
+    the fused pipeline does at inference: a CROP_SIZE window around the
+    disc center (24 mm deltas at 1 mm/px -> 48x48, no resample), with
+    random center jitter standing in for the localization model's residual
+    error, then per-crop min-max stretch (the crop kernel's
+    normalize_to_uint8). Windowing the REAL slice matters: crops contain
+    fragments of the neighboring discs (levels are ~25 px apart), and the
+    classifier must train on that context — the reference gets this for
+    free by extracting training crops from real slices with the same loc
+    model (datasets/classification/spider.py:136-178)."""
+    jy, jx = rng.integers(-8, 9, size=2)
+    half = CROP_SIZE[0] // 2
+    y0, x0 = cy + int(jy) - half, cx + int(jx) - half
+    region = img[y0 : y0 + CROP_SIZE[0], x0 : x0 + CROP_SIZE[1]].astype(np.float64)
     lo, hi = region.min(), region.max()
     region = (region - lo) / max(hi - lo, 1e-6) * 255.0
-    return np.repeat(np.repeat(region, 2, axis=0), 2, axis=1).astype(np.uint8)
-
-
-def _draw_disc_region(region: np.ndarray, grade: int, herniation: int) -> None:
-    h = DISC_HALF
-    region[:] = 40.0 + region * 0.0
-    for bar in range(grade):
-        x = 2 + bar * 4
-        region[2 : 2 * h - 2, x : x + 2] = 230.0
-    if herniation:
-        region[0:5, 0:5] = 255.0
+    return region.astype(np.uint8)
 
 
 def _write_loc_dataset(root: Path, rng: np.random.Generator, n_images: int) -> None:
@@ -101,6 +107,12 @@ def _write_loc_dataset(root: Path, rng: np.random.Generator, n_images: int) -> N
         herns = rng.integers(0, 2, size=5)
         img, coords = _render_slice(rng, grades, herns)
         name = f"images/slice_{i}.png"
+        # Dataset-build convention (reference datasets/localization.py:
+        # npy -> normalize_to_uint8 -> PNG): training PNGs are min-max
+        # stretched, exactly like the fused pipeline stretches raw slices
+        # before its loc forward — train/infer inputs must match.
+        lo, hi = float(img.min()), float(img.max())
+        img = (img - lo) / max(hi - lo, 1e-6) * 255.0
         Image.fromarray(img.astype(np.uint8)).convert("RGB").save(root / name)
         for level, (x, y) in zip(LEVELS, coords):
             rows.append(
@@ -123,14 +135,19 @@ def _write_cls_dataset(root: Path, rng: np.random.Generator, n_patients: int) ->
     from PIL import Image
 
     (root / "images").mkdir(parents=True)
+    h, w = SLICE_HW
     rows = []
     for p in range(n_patients):
         pid = f"pp{p:03d}"
-        for lvl in (2, 3, 4):
-            grade = int(rng.integers(1, 6))
-            herniation = int(rng.integers(0, 2))
-            for series in ("sag_t1", "sag_t2"):
-                crop = _render_crop(rng, grade, herniation)
+        grades = rng.integers(1, 6, size=5)
+        herns = rng.integers(0, 2, size=5)
+        for series in ("sag_t1", "sag_t2"):
+            img, coords = _render_slice(rng, grades, herns)
+            for lvl in (1, 2, 3, 4, 5):
+                x_norm, y_norm = coords[lvl - 1]
+                crop = _window_crop(
+                    img, int(x_norm * w), int(y_norm * h), rng
+                )
                 name = f"images/{pid}_L{lvl}_{series}.png"
                 Image.fromarray(crop).save(root / name)
                 rows.append(
@@ -140,8 +157,8 @@ def _write_cls_dataset(root: Path, rng: np.random.Generator, n_patients: int) ->
                         "ivd_level": lvl,
                         "series_type": series,
                         "source": "parity",
-                        "pfirrmann_grade": grade,
-                        "disc_herniation": herniation,
+                        "pfirrmann_grade": int(grades[lvl - 1]),
+                        "disc_herniation": int(herns[lvl - 1]),
                         "disc_narrowing": 0,
                         "disc_bulging": 0,
                         "spondylolisthesis": 0,
@@ -159,10 +176,10 @@ def _write_cls_dataset(root: Path, rng: np.random.Generator, n_patients: int) ->
 def run_parity(
     output_dir: Path,
     seed: int = 0,
-    loc_epochs: int = 8,
-    cls_epochs: int = 8,
-    n_loc_images: int = 64,
-    n_cls_patients: int = 40,
+    loc_epochs: int = 14,
+    cls_epochs: int = 16,
+    n_loc_images: int = 96,
+    n_cls_patients: int = 120,
     n_heldout_studies: int = 8,
 ) -> dict[str, Any]:
     """Run the full parity suite; returns (and writes) the metric record."""
@@ -206,6 +223,9 @@ def run_parity(
         visualize_predictions=False,
         num_workers=0,
         val_split=0.2,
+        # The held-out e2e studies come from the same clean rendering
+        # distribution; augmentation only costs localization precision here.
+        augment=False,
         seed=seed,
     )
     loc_trainer = LocalizationTrainer(loc_config)
