@@ -245,7 +245,10 @@ class ConvNeXtBlock(nn.Module):
             return out.reshape(b, hgt, wid, c)
 
         y = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(y)
-        y = nn.gelu(y, approximate=False)
+        # tanh-GELU framework-wide for the block MLP: matches the Pallas
+        # kernels (ops/fused_mlp.py:_tanh_gelu — erf costs real VPU time in
+        # Mosaic, deviation < bf16 rounding), keeping flag paths interchangeable.
+        y = nn.gelu(y, approximate=True)
         if self.use_grn:
             y = GRN(dim=4 * self.dim, name="grn")(y)
         y = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(y)

@@ -37,7 +37,7 @@ from spine_vision_tpu.ops.dwconv import (
 )
 from spine_vision_tpu.ops.fused_mlp import (
     MAX_FUSED_DIM,
-    _erf_gelu,
+    _tanh_gelu,
     _mlp_bwd_pallas,
 )
 
@@ -107,7 +107,7 @@ def _make_block_kernel(num_tiles: int, eps: float, rh: int):
         for r0 in range(0, th, rh):
             rows = y_lp[r0 : r0 + rh].reshape(rh * w, c)
             hpre = jnp.dot(rows, w1_ref[:], preferred_element_type=jnp.float32)
-            h = _erf_gelu(hpre + b1f).astype(out_ref.dtype)
+            h = _tanh_gelu(hpre + b1f).astype(out_ref.dtype)
             out = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
             out = (out + b2f) * gamma_f
             res = tile[PAD + r0 : PAD + r0 + rh, PAD : PAD + w, :]

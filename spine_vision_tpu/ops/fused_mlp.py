@@ -35,68 +35,50 @@ from jax.experimental.pallas import tpu as pltpu
 MAX_FUSED_DIM = 512
 
 # Fastest measured token tile per channel width (v5e, see module docstring).
-# C=512 capped at 512: the fast-reciprocal GELU's refinement temporaries
-# push the tile-1024 working set ([tm, 4C] f32 hidden + temps + 4 MB
-# weights) over the scoped-vmem limit.
+# C=512 capped at 512: the [tm, 4C] f32 hidden + activation temps + 4 MB
+# weights push the tile-1024 working set over the 16 MB scoped-vmem limit.
 _BEST_TILE_M = {128: 1024, 256: 2048, 512: 512}
 
 
-def _fast_recip(w: Array) -> Array:
-    """VPU fast reciprocal + one Newton refinement (kernel-only).
+_GELU_C = math.sqrt(2.0 / math.pi)
+_GELU_A = 0.044715
 
-    The hardware rcp (~2^-14 relative; the interpreter's emulation is
-    ~4e-3) squares to well below f32 atol after one x*(2-w*x) step, at ~3
-    VPU ops vs ~10 for a true divide. Only valid inside Pallas kernels.
+
+def _tanh_gelu(x: Array) -> Array:
+    """tanh-approximate GELU (Hendrycks & Gimpel), the framework-wide
+    activation for the ConvNeXt MLP (kernels AND the XLA model path use
+    ``approximate=True`` so the paths stay interchangeable).
+
+    Why tanh and not exact erf: Mosaic lowers neither erf nor erfc, and the
+    A&S 7.1.26 rational erf costs real VPU time — measured +2.3 ms per
+    268M-element pass at the stage-1 hidden shape vs +0.1 ms for tanh
+    (scripts/probe_gelu_cost.py; tanh hits the hardware transcendental
+    unit). The tanh/erf deviation (<1e-3 absolute) is below bf16 rounding
+    in the compute dtype, so pretrained-weight parity is unaffected.
     """
-    r = pl.reciprocal(w, approx=True)
-    return r * (2.0 - w * r)
-
-
-def _erf_gelu(x: Array) -> Array:
-    """erf-based GELU via Abramowitz & Stegun 7.1.26 (|err| < ~2e-6).
-
-    Mosaic lowers neither erf nor erfc, so the exact-GELU erf is computed
-    from exp (supported) with the classic rational approximation; the
-    division is a refined fast reciprocal (kernel-only helper).
-    """
-    z = x * (1.0 / math.sqrt(2.0))
-    az = jnp.abs(z)
-    t = _fast_recip(1.0 + 0.3275911 * az)
-    poly = t * (
-        0.254829592
-        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
-    )
-    erf_abs = 1.0 - poly * jnp.exp(-az * az)
-    erf = jnp.sign(z) * erf_abs
-    return 0.5 * x * (1.0 + erf)
+    u = _GELU_C * (x + _GELU_A * x * x * x)
+    return 0.5 * x * (1.0 + jnp.tanh(u))
 
 
 def _gelu_and_grad(x: Array) -> tuple[Array, Array]:
-    """(gelu(x), gelu'(x)) sharing one erf/exp evaluation (f32 in/out).
+    """(gelu(x), gelu'(x)) sharing one tanh evaluation (f32 in/out).
 
-    gelu'(x) = Phi(x) + x * phi(x) with Phi the normal CDF (from the A&S
-    erf, see :func:`_erf_gelu`) and phi(x) = exp(-x^2/2)/sqrt(2*pi); the
-    exp(-z^2) term of the erf approximation IS exp(-x^2/2), so it is reused.
+    With t = tanh(u), u = c*(x + a*x^3): gelu = 0.5*x*(1+t) and
+    gelu' = 0.5*(1+t) + 0.5*x*(1-t^2)*c*(1+3a*x^2).
     """
-    z = x * (1.0 / math.sqrt(2.0))
-    az = jnp.abs(z)
-    t = _fast_recip(1.0 + 0.3275911 * az)
-    poly = t * (
-        0.254829592
-        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
-    )
-    exp_term = jnp.exp(-az * az)
-    erf = jnp.sign(z) * (1.0 - poly * exp_term)
-    cdf = 0.5 * (1.0 + erf)
-    pdf = exp_term * (1.0 / math.sqrt(2.0 * math.pi))
-    return x * cdf, cdf + x * pdf
+    x2 = x * x
+    u = _GELU_C * (x + _GELU_A * x * x2)
+    t = jnp.tanh(u)
+    half_1pt = 0.5 * (1.0 + t)
+    du = _GELU_C * (1.0 + 3.0 * _GELU_A * x2)
+    return x * half_1pt, half_1pt + 0.5 * x * (1.0 - t * t) * du
 
 
 def _mlp_core(x_ref, w1_ref, b1_ref, w2_ref, b2_ref):
     x = x_ref[:]
     h = jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32)
     h = h + b1_ref[0, :].astype(jnp.float32)
-    h = _erf_gelu(h).astype(x.dtype)
+    h = _tanh_gelu(h).astype(x.dtype)
     out = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
     return out + b2_ref[0, :].astype(jnp.float32)
 
@@ -218,10 +200,6 @@ def _mlp_bwd_kernel(
     h, dgelu = _gelu_and_grad(hpre)
     h_lp = h.astype(x.dtype)
 
-    # dgamma needs out_mlp = sum_j h_j @ w2_j + b2.
-    out_mlp_part = jnp.dot(h_lp, w2_ref[:], preferred_element_type=jnp.float32)
-    dgamma_part = jnp.sum(gf * out_mlp_part, axis=0, keepdims=True)
-
     gamma_f = gamma_ref[0, :].astype(jnp.float32)
     g_mlp_f = gf * gamma_f
     g_mlp = g_mlp_f.astype(x.dtype)
@@ -240,8 +218,16 @@ def _mlp_bwd_kernel(
     dw1_part = jax.lax.dot_general(
         x, g_hpre, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    dw2_part = jax.lax.dot_general(
-        h_lp, g_mlp, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    # A = h^T @ g (UNSCALED cotangent). dw2 = A * gamma (column scale), and
+    # dgamma's h@w2 term folds into sum_h w2 .* A — a VPU multiply-reduce
+    # instead of recomputing out_mlp with a 6th matmul per step.
+    a_part = jax.lax.dot_general(
+        h_lp, gf.astype(x.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dw2_part = a_part * gamma_f[None, :]
+    dgamma_part = jnp.sum(
+        w2_ref[:].astype(jnp.float32) * a_part, axis=0, keepdims=True
     )
     db1_part = jnp.sum(g_hpre_f, axis=0, keepdims=True)
 
@@ -501,7 +487,7 @@ def mlp_reference(
     hidden = jax.nn.gelu(
         jnp.dot(x, w1, preferred_element_type=jnp.float32)
         + b1.astype(jnp.float32),
-        approximate=False,
+        approximate=True,
     ).astype(x.dtype)
     out = jnp.dot(hidden, w2, preferred_element_type=jnp.float32) + b2.astype(
         jnp.float32
