@@ -56,21 +56,38 @@ def fuzzy_value_extract(
 
         key_word_count = len(field.split())
         words = normalized.split()
-        if len(words) < key_word_count:
-            continue
+        if len(words) >= key_word_count:
+            min_len = max(1, key_word_count - 1)
+            max_len = min(len(words), key_word_count + window_length)
+            best_score = 0.0
+            best_end = 0
+            for i in range(min_len, max_len + 1):
+                candidate = " ".join(words[:i]).rstrip(" :.-")
+                score = fuzz.ratio(field, candidate.lower())
+                if score > best_score:
+                    best_score = score
+                    best_end = i
+            if best_score >= threshold:
+                return "".join(words[best_end:]).lstrip(".:;").upper()
 
-        min_len = max(1, key_word_count - 1)
-        max_len = min(len(words), key_word_count + window_length)
-        best_score = 0.0
-        best_end = 0
-        for i in range(min_len, max_len + 1):
-            candidate = " ".join(words[:i]).rstrip(" :.-")
-            score = fuzz.ratio(field, candidate.lower())
+        # Character-level fallback: CTC recognizers often drop spaces, so a
+        # key+value line can arrive as one long word the word-window split
+        # above cannot handle ("Ngàysinh:15/05/1980"). Scan split points of
+        # the space-stripped folded line for the best key-prefix match; the
+        # value is returned folded+uppercased like the word path's.
+        compact = normalized.replace(" ", "")
+        field_compact = field.replace(" ", "")
+        lo = max(1, len(field_compact) - 4)
+        hi = min(len(compact) - 1, len(field_compact) + 4)
+        best_score, best_k = 0.0, 0
+        for k in range(lo, hi + 1):
+            score = fuzz.ratio(field_compact, compact[:k].rstrip(" :.-"))
             if score > best_score:
-                best_score = score
-                best_end = i
+                best_score, best_k = score, k
         if best_score >= threshold:
-            return "".join(words[best_end:]).lstrip(".:;").upper()
+            value = compact[best_k:].lstrip(".:;").upper()
+            if value:
+                return value
     return None
 
 

@@ -1,0 +1,67 @@
+"""End-to-end OCR with the SHIPPED trained weights — no fake engine.
+
+The reference's Phenikaa path works out of the box with pretrained
+PaddleOCR/VietOCR (reference datasets/phenikaa/ocr.py:24-145); the parity
+claim here is that the in-repo trained checkpoints
+(spine_vision_tpu/weights/ocr_{detector,recognizer}.npz, produced by
+`spine-vision-tpu train-ocr`: detector box recall 1.00, recognizer CER
+0.016 on held-out rendered lines) read a rendered Vietnamese report well
+enough for the real field-extraction pipeline (detect -> rectify ->
+recognize -> fuzzy_value_extract) to recover name, birthday, and report
+ID with no test doubles anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from spine_vision_tpu.train.ocr import DEFAULT_WEIGHTS_DIR
+
+_HAVE_WEIGHTS = (DEFAULT_WEIGHTS_DIR / "ocr_detector.npz").exists() and (
+    DEFAULT_WEIGHTS_DIR / "ocr_recognizer.npz"
+).exists()
+
+pytestmark = pytest.mark.skipif(
+    not _HAVE_WEIGHTS, reason="shipped OCR weights not present"
+)
+
+
+def test_report_fields_extracted_with_trained_weights():
+    from spine_vision_tpu.data.phenikaa import (
+        BIRTHDAY_FIELD_PATTERN,
+        ID_FIELD_PATTERN,
+        NAME_FIELD_PATTERN,
+    )
+    from spine_vision_tpu.data.phenikaa.matching import (
+        ascii_fold,
+        fuzzy_match_score,
+        fuzzy_value_extract,
+    )
+    from spine_vision_tpu.data.phenikaa.ocr import DocumentExtractor
+    from spine_vision_tpu.data.phenikaa import synth
+
+    rng = np.random.default_rng(0)
+    name, birthday, report_id = "Nguyễn Văn An", "15/05/1980", "250012345"
+    page = synth.render_report_page(name, birthday, report_id, rng)
+
+    extractor = DocumentExtractor()  # loads the shipped weights
+    lines = extractor.extract_from_image(page)
+    assert lines, "no text detected"
+
+    got_name = fuzzy_value_extract(lines, NAME_FIELD_PATTERN, 80, window_length=3)
+    got_birthday = fuzzy_value_extract(
+        lines, BIRTHDAY_FIELD_PATTERN, 80, window_length=2
+    )
+    got_id = fuzzy_value_extract(lines, ID_FIELD_PATTERN, 80, window_length=2)
+
+    assert got_name is not None
+    assert fuzzy_match_score(ascii_fold(got_name), ascii_fold(name)) >= 80, (
+        got_name,
+        lines,
+    )
+    assert got_birthday is not None and "1980" in got_birthday, (got_birthday, lines)
+    assert got_id is not None and report_id in got_id.replace(" ", ""), (
+        got_id,
+        lines,
+    )

@@ -172,3 +172,23 @@ def test_localization_training_learns(dot_dataset, tmp_path):
     # Best checkpoint exists and best metric is finite.
     assert (tmp_path / "run" / "best_model").exists()
     assert np.isfinite(result.best_metric)
+
+    # Resume: a fresh trainer pointed at the checkpoint continues from the
+    # trained weights (reference recovery story: set checkpoint_path ->
+    # _load_checkpoint, trainers/base.py:439-441,721-736) instead of
+    # restarting from scratch — its first-epoch loss must be far below the
+    # cold run's.
+    resumed_config = config.model_copy(
+        update={
+            "output_path": tmp_path / "resumed",
+            "num_epochs": 5,  # continues from the checkpoint's epoch counter
+            "checkpoint_path": tmp_path / "run" / "best_model",
+        }
+    )
+    resumed = LocalizationTrainer(resumed_config)
+    resumed.train()
+    resumed_losses = resumed.history["train_loss"]
+    # Restored history + at least one NEW epoch, continuing warm: the new
+    # epoch's loss must sit far below the cold run's first epoch.
+    assert len(resumed_losses) == 5
+    assert resumed_losses[-1] < losses[0] * 0.5
