@@ -158,7 +158,9 @@ def _pallas_mlp(
 # Backward token tile / H chunk per channel width. Chunking H keeps the
 # weight blocks + f32 weight-grad accumulators + activation temps inside
 # VMEM at C=512 (w1+w2 1 MB resident per chunk, dw1+dw2 8 MB accumulated
-# in the revisited output blocks).
+# in the revisited output blocks). C=512 tm=512 measures 6% faster in
+# isolation (tune_mlp_bwd.py) but OOMs the compile-helper when embedded in
+# the full train step — keep 256.
 _BWD_TILE_M = {128: 1024, 256: 512, 512: 256}
 _BWD_HCHUNK = {128: 512, 256: 1024, 512: 512}
 
