@@ -200,10 +200,49 @@ class ConvNeXtBlock(nn.Module):
                 interpret=jax.default_backend() == "cpu",
             )
         else:
+            from spine_vision_tpu.ops.fused_mlp import MAX_FUSED_DIM
+
             y = nn.Conv(
                 self.dim, (7, 7), padding=[(3, 3), (3, 3)],
                 feature_group_count=self.dim, dtype=self.dtype, name="dwconv",
             )(x)
+            if (
+                self.use_pallas_mlp
+                and not self.use_grn
+                and self.dim <= MAX_FUSED_DIM
+                and self.layer_scale_init > 0
+            ):
+                # LN-fused training kernel (ops.fused_mlp.fused_ln_mlp): the
+                # per-block LayerNorm runs inside the Pallas kernel in BOTH
+                # directions, removing XLA's standalone LN forward/backward
+                # [M, C] round trips per block. Param tree matches
+                # nn.LayerNorm + nn.Dense pair + gamma exactly.
+                import jax
+
+                from spine_vision_tpu.ops.fused_mlp import fused_ln_mlp
+
+                scale, beta = _LayerNormParams(self.dim, name="norm")()
+                w1, b1 = _DenseParams(self.dim, 4 * self.dim, name="pwconv1")()
+                w2, b2 = _DenseParams(4 * self.dim, self.dim, name="pwconv2")()
+                gamma = self.param(
+                    "gamma",
+                    nn.initializers.constant(self.layer_scale_init),
+                    (self.dim,),
+                )
+                b, hgt, wid, c = y.shape
+                out = fused_ln_mlp(
+                    y.astype(self.dtype).reshape(b * hgt * wid, c),
+                    scale,
+                    beta,
+                    w1.astype(self.dtype),
+                    b1,
+                    w2.astype(self.dtype),
+                    b2,
+                    gamma,
+                    residual.astype(self.dtype).reshape(b * hgt * wid, c),
+                    interpret=jax.default_backend() == "cpu",
+                )
+                return out.reshape(b, hgt, wid, c)
             y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(y)
         y = y.astype(self.dtype)
 
@@ -215,7 +254,8 @@ class ConvNeXtBlock(nn.Module):
             # standalone elementwise pass trails the custom call. Param tree
             # identical to the nn.Dense pair + gamma, so checkpoints are
             # interchangeable with the flag off. GRN (v2) and C=1024 fall
-            # back to the XLA path.
+            # back to the XLA path. (With use_pallas_dwconv the LN already
+            # ran inside the dwconv kernel, so this branch handles the MLP.)
             import jax
 
             from spine_vision_tpu.ops.fused_mlp import fused_mlp

@@ -476,6 +476,404 @@ def fused_mlp(
     return _fused_mlp_plain_ad(x, w1, b1, w2, b2, tile_m, interpret)
 
 
+# ---------------------------------------------------------------------------
+# LayerNorm-fused variant: LN(x) -> MLP -> LayerScale -> +residual, one kernel
+# each direction. Removes the standalone XLA LayerNorm forward AND backward
+# passes per block in training (the trace showed them as convert_reduce /
+# conv fusions trailing each Pallas boundary).
+# ---------------------------------------------------------------------------
+
+_LN_EPS = 1e-6
+
+
+def _ln_rows(xf: Array) -> tuple[Array, Array]:
+    """Per-row LayerNorm stats over the channel axis: (yhat, rstd)."""
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    centered = xf - mu
+    var = jnp.mean(centered * centered, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + _LN_EPS)
+    return centered * rstd, rstd
+
+
+def _ln_mlp_tail_kernel(
+    x_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref, b2_ref, gamma_ref, res_ref,
+    out_ref,
+):
+    yhat, _ = _ln_rows(x_ref[:].astype(jnp.float32))
+    y = yhat * ls_ref[0, :].astype(jnp.float32) + lb_ref[0, :].astype(jnp.float32)
+    y_lp = y.astype(x_ref.dtype)
+    h = jnp.dot(y_lp, w1_ref[:], preferred_element_type=jnp.float32)
+    h = _tanh_gelu(h + b1_ref[0, :].astype(jnp.float32)).astype(x_ref.dtype)
+    out = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+    out = out + b2_ref[0, :].astype(jnp.float32)
+    out = out * gamma_ref[0, :].astype(jnp.float32)
+    out = out + res_ref[:].astype(jnp.float32)
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+def _ln_mlp_pallas(
+    x: Array,
+    ln_scale: Array,
+    ln_bias: Array,
+    w1: Array,
+    b1: Array,
+    w2: Array,
+    b2: Array,
+    gamma: Array,
+    residual: Array,
+    tile_m: int | None,
+    interpret: bool,
+) -> Array:
+    m, c = x.shape
+    h = w1.shape[1]
+    if tile_m is None:
+        tile_m = _BEST_TILE_M.get(c, 1024)
+    tm = min(tile_m, m)
+    num_tiles = (m + tm - 1) // tm
+    padded_m = num_tiles * tm
+    if padded_m != m:
+        x = jnp.pad(x, ((0, padded_m - m), (0, 0)))
+        residual = jnp.pad(residual, ((0, padded_m - m), (0, 0)))
+
+    tok = pl.BlockSpec((tm, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    fix = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        _ln_mlp_tail_kernel,
+        grid=(num_tiles,),
+        in_specs=[
+            tok,
+            fix((1, c)),
+            fix((1, c)),
+            fix((c, h)),
+            fix((1, h)),
+            fix((h, c)),
+            fix((1, c)),
+            fix((1, c)),
+            tok,
+        ],
+        out_specs=tok,
+        out_shape=jax.ShapeDtypeStruct((padded_m, c), x.dtype),
+        interpret=interpret,
+    )(
+        x,
+        ln_scale.reshape(1, c),
+        ln_bias.reshape(1, c),
+        w1,
+        b1.reshape(1, h),
+        w2,
+        b2.reshape(1, c),
+        gamma.reshape(1, c),
+        residual,
+    )
+    return out[:m]
+
+
+def _ln_mlp_bwd_kernel(
+    x_ref, g_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref, b2_ref, gamma_ref,
+    dx_ref, dls_ref, dlb_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dgamma_ref,
+):
+    """One (token-tile i, H-chunk j) backward step of the LN-fused MLP.
+
+    Same structure as :func:`_mlp_bwd_kernel`, with the LayerNorm recomputed
+    per step from the raw x tile (its output y is the MLP input), and dx_ref
+    used as the g_y accumulator across j: on the last chunk the accumulated
+    g_y is pushed through the LayerNorm backward in place, and the LN param
+    grads accumulate into their own fixed blocks.
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    hc = w1_ref.shape[1]
+    num_h = pl.num_programs(1)
+
+    yhat, rstd = _ln_rows(x_ref[:].astype(jnp.float32))
+    ls = ls_ref[0, :].astype(jnp.float32)
+    y = yhat * ls + lb_ref[0, :].astype(jnp.float32)
+    y_lp = y.astype(x_ref.dtype)
+    gf = g_ref[:].astype(jnp.float32)
+
+    hpre = jnp.dot(y_lp, w1_ref[:], preferred_element_type=jnp.float32)
+    hpre = hpre + b1_ref[0, :].astype(jnp.float32)
+    h, dgelu = _gelu_and_grad(hpre)
+    h_lp = h.astype(x_ref.dtype)
+
+    gamma_f = gamma_ref[0, :].astype(jnp.float32)
+    g_mlp = (gf * gamma_f).astype(x_ref.dtype)
+
+    g_h = jax.lax.dot_general(
+        g_mlp, w2_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    g_hpre_f = g_h * dgelu
+    g_hpre = g_hpre_f.astype(x_ref.dtype)
+
+    g_y_part = jax.lax.dot_general(
+        g_hpre, w1_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dw1_part = jax.lax.dot_general(
+        y_lp, g_hpre, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    a_part = jax.lax.dot_general(
+        h_lp, gf.astype(x_ref.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dw2_part = a_part * gamma_f[None, :]
+    dgamma_part = jnp.sum(
+        w2_ref[:].astype(jnp.float32) * a_part, axis=0, keepdims=True
+    )
+    db1_part = jnp.sum(g_hpre_f, axis=0, keepdims=True)
+
+    # Accumulate g_y across H chunks in the dx output block (f32).
+    @pl.when(j == 0)
+    def _():
+        dx_ref[:] = g_y_part.astype(dx_ref.dtype)
+
+    @pl.when(j > 0)
+    def _():
+        dx_ref[:] += g_y_part.astype(dx_ref.dtype)
+
+    # Last chunk: finish the LayerNorm backward in place.
+    @pl.when(j == num_h - 1)
+    def _():
+        g_y = dx_ref[:].astype(jnp.float32)
+        dls_part = jnp.sum(g_y * yhat, axis=0, keepdims=True)
+        dlb_part = jnp.sum(g_y, axis=0, keepdims=True)
+        dyhat = g_y * ls
+        dx = rstd * (
+            dyhat
+            - jnp.mean(dyhat, axis=-1, keepdims=True)
+            - yhat * jnp.mean(dyhat * yhat, axis=-1, keepdims=True)
+        )
+        dx_ref[:] = dx.astype(dx_ref.dtype)
+
+        @pl.when(i == 0)
+        def _():
+            dls_ref[:] = dls_part
+            dlb_ref[:] = dlb_part
+
+        @pl.when(i > 0)
+        def _():
+            dls_ref[:] += dls_part
+            dlb_ref[:] += dlb_part
+
+    @pl.when(i == 0)
+    def _():
+        dw1_ref[:, pl.ds(j * hc, hc)] = dw1_part
+        db1_ref[:, pl.ds(j * hc, hc)] = db1_part
+        dw2_ref[pl.ds(j * hc, hc), :] = dw2_part
+
+    @pl.when(i > 0)
+    def _():
+        dw1_ref[:, pl.ds(j * hc, hc)] += dw1_part
+        db1_ref[:, pl.ds(j * hc, hc)] += db1_part
+        dw2_ref[pl.ds(j * hc, hc), :] += dw2_part
+
+    db2_part = jnp.sum(gf * gamma_f, axis=0, keepdims=True)
+    dgamma_b2 = jnp.sum(gf, axis=0, keepdims=True) * b2_ref[0, :].astype(
+        jnp.float32
+    )
+    first = jnp.logical_and(i == 0, j == 0)
+
+    @pl.when(first)
+    def _():
+        db2_ref[:] = db2_part
+        dgamma_ref[:] = dgamma_part + dgamma_b2
+
+    @pl.when(jnp.logical_and(j == 0, i > 0))
+    def _():
+        db2_ref[:] += db2_part
+        dgamma_ref[:] += dgamma_part + dgamma_b2
+
+    @pl.when(j > 0)
+    def _():
+        dgamma_ref[:] += dgamma_part
+
+
+def _ln_mlp_bwd_pallas(
+    x: Array,
+    ln_scale: Array,
+    ln_bias: Array,
+    w1: Array,
+    b1: Array,
+    w2: Array,
+    b2: Array,
+    gamma: Array,
+    g: Array,
+    interpret: bool,
+) -> tuple[Array, ...]:
+    m, c = x.shape
+    h = w1.shape[1]
+    tm = min(_BWD_TILE_M.get(c, 256), m)
+    hc = _BWD_HCHUNK.get(c, 512)
+    if h % hc != 0:
+        hc = h
+    num_tiles = (m + tm - 1) // tm
+    padded_m = num_tiles * tm
+    if padded_m != m:
+        x = jnp.pad(x, ((0, padded_m - m), (0, 0)))
+        g = jnp.pad(g, ((0, padded_m - m), (0, 0)))
+    num_h = h // hc
+
+    tok = pl.BlockSpec((tm, c), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    fix = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM
+    )
+    outs = pl.pallas_call(
+        _ln_mlp_bwd_kernel,
+        grid=(num_tiles, num_h),
+        in_specs=[
+            tok,
+            tok,
+            fix((1, c)),
+            fix((1, c)),
+            pl.BlockSpec((c, hc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hc, c), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            fix((1, c)),
+            fix((1, c)),
+        ],
+        out_specs=[
+            tok,
+            fix((1, c)),
+            fix((1, c)),
+            fix((c, h)),
+            fix((1, h)),
+            fix((h, c)),
+            fix((1, c)),
+            fix((1, c)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((padded_m, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((c, h), jnp.float32),
+            jax.ShapeDtypeStruct((1, h), jnp.float32),
+            jax.ShapeDtypeStruct((h, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        x,
+        g,
+        ln_scale.reshape(1, c),
+        ln_bias.reshape(1, c),
+        w1,
+        b1.reshape(1, h),
+        w2,
+        b2.reshape(1, c),
+        gamma.reshape(1, c),
+    )
+    dx, dls, dlb, dw1, db1, dw2, db2, dgamma = outs
+    return dx[:m], dls, dlb, dw1, db1, dw2, db2, dgamma
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def _fused_ln_mlp_ad(
+    x: Array,
+    ln_scale: Array,
+    ln_bias: Array,
+    w1: Array,
+    b1: Array,
+    w2: Array,
+    b2: Array,
+    gamma: Array,
+    residual: Array,
+    tile_m: int | None,
+    interpret: bool,
+) -> Array:
+    """Differentiable LN+MLP+tail: Pallas forward and backward, primal
+    inputs only saved (LN and the 4C hidden both recomputed in VMEM)."""
+    return _ln_mlp_pallas(
+        x, ln_scale, ln_bias, w1, b1, w2, b2, gamma, residual, tile_m, interpret
+    )
+
+
+def _fused_ln_mlp_fwd(
+    x, ln_scale, ln_bias, w1, b1, w2, b2, gamma, residual, tile_m, interpret
+):
+    out = _ln_mlp_pallas(
+        x, ln_scale, ln_bias, w1, b1, w2, b2, gamma, residual, tile_m, interpret
+    )
+    return out, (x, ln_scale, ln_bias, w1, b1, w2, b2, gamma, residual)
+
+
+def _fused_ln_mlp_bwd(tile_m, interpret, saved, g):
+    x, ln_scale, ln_bias, w1, b1, w2, b2, gamma, residual = saved
+    dx, dls, dlb, dw1, db1, dw2, db2, dgamma = _ln_mlp_bwd_pallas(
+        x, ln_scale, ln_bias, w1, b1, w2, b2, gamma, g, interpret
+    )
+    return (
+        dx.astype(x.dtype),
+        dls.reshape(ln_scale.shape).astype(ln_scale.dtype),
+        dlb.reshape(ln_bias.shape).astype(ln_bias.dtype),
+        dw1.astype(w1.dtype),
+        db1.reshape(b1.shape).astype(b1.dtype),
+        dw2.astype(w2.dtype),
+        db2.reshape(b2.shape).astype(b2.dtype),
+        dgamma.reshape(gamma.shape).astype(gamma.dtype),
+        g.astype(residual.dtype),
+    )
+
+
+_fused_ln_mlp_ad.defvjp(_fused_ln_mlp_fwd, _fused_ln_mlp_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_m", "interpret"))
+def fused_ln_mlp(
+    x: Array,
+    ln_scale: Array,
+    ln_bias: Array,
+    w1: Array,
+    b1: Array,
+    w2: Array,
+    b2: Array,
+    gamma: Array,
+    residual: Array,
+    tile_m: int | None = None,
+    interpret: bool = False,
+) -> Array:
+    """``residual + gamma * mlp(layernorm(x))`` with LN inside the kernel.
+
+    The training-path upgrade over :func:`fused_mlp`: the per-block
+    LayerNorm (eps 1e-6, matching nn.LayerNorm) runs inside the Pallas
+    kernel in both directions, so XLA's standalone LN forward/backward
+    passes (one [M, C] round trip each) disappear from the train step.
+    Falls back to the XLA composition above MAX_FUSED_DIM.
+    """
+    if x.shape[1] > MAX_FUSED_DIM:
+        return ln_mlp_reference(
+            x, ln_scale, ln_bias, w1, b1, w2, b2, gamma, residual
+        )
+    return _fused_ln_mlp_ad(
+        x, ln_scale, ln_bias, w1, b1, w2, b2, gamma, residual, tile_m, interpret
+    )
+
+
+def ln_mlp_reference(
+    x: Array,
+    ln_scale: Array,
+    ln_bias: Array,
+    w1: Array,
+    b1: Array,
+    w2: Array,
+    b2: Array,
+    gamma: Array,
+    residual: Array,
+) -> Array:
+    """XLA reference composition of the LN-fused variant."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    centered = xf - mu
+    var = jnp.mean(centered * centered, axis=-1, keepdims=True)
+    yhat = centered * jax.lax.rsqrt(var + _LN_EPS)
+    y = yhat * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)
+    return mlp_reference(y.astype(x.dtype), w1, b1, w2, b2, gamma, residual)
+
+
 def mlp_reference(
     x: Array,
     w1: Array,

@@ -232,3 +232,61 @@ def test_gradients_multi_hchunk_path():
             np.asarray(ga) / scale, np.asarray(wa) / scale, atol=5e-3,
             err_msg=f"grad mismatch for arg {i}",
         )
+
+
+def test_ln_mlp_forward_matches_reference():
+    """LN-fused variant: forward parity vs the XLA composition."""
+    from spine_vision_tpu.ops.fused_mlp import fused_ln_mlp, ln_mlp_reference
+
+    rng = np.random.default_rng(8)
+    m, c = 192, 128
+    x = jnp.asarray(rng.normal(size=(m, c)), jnp.float32)
+    ls = jnp.asarray(1.0 + 0.1 * rng.normal(size=(c,)), jnp.float32)
+    lb = jnp.asarray(0.05 * rng.normal(size=(c,)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(c, 4 * c)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(4 * c,)), jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(4 * c, c)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(c,)), jnp.float32)
+    gamma = jnp.asarray(rng.normal(size=(c,)) * 1e-2, jnp.float32)
+    res = jnp.asarray(rng.normal(size=(m, c)), jnp.float32)
+    got = fused_ln_mlp(x, ls, lb, w1, b1, w2, b2, gamma, res, tile_m=64, interpret=True)
+    want = ln_mlp_reference(x, ls, lb, w1, b1, w2, b2, gamma, res)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-4)
+
+
+@pytest.mark.parametrize("c,m,tile", [(128, 192, 64), (512, 96, 96)])
+def test_ln_mlp_gradients_match_reference(c, m, tile):
+    """LN-fused grads vs jax.grad of the XLA composition, incl. the
+    multi-H-chunk backward at C=512 (hc=512 < H=2048)."""
+    import jax
+
+    from spine_vision_tpu.ops.fused_mlp import fused_ln_mlp, ln_mlp_reference
+
+    rng = np.random.default_rng(9)
+    args = (
+        jnp.asarray(rng.normal(size=(m, c)), jnp.float32),
+        jnp.asarray(1.0 + 0.1 * rng.normal(size=(c,)), jnp.float32),
+        jnp.asarray(0.05 * rng.normal(size=(c,)), jnp.float32),
+        jnp.asarray(rng.normal(size=(c, 4 * c)) * 0.03, jnp.float32),
+        jnp.asarray(rng.normal(size=(4 * c,)) * 0.3, jnp.float32),
+        jnp.asarray(rng.normal(size=(4 * c, c)) * 0.03, jnp.float32),
+        jnp.asarray(rng.normal(size=(c,)) * 0.3, jnp.float32),
+        jnp.asarray(rng.normal(size=(c,)) * 1e-2, jnp.float32),
+        jnp.asarray(rng.normal(size=(m, c)), jnp.float32),
+    )
+
+    def loss_fused(*a):
+        out = fused_ln_mlp(*a, tile_m=tile, interpret=True)
+        return jnp.sum(out * out)
+
+    def loss_ref(*a):
+        return jnp.sum(ln_mlp_reference(*a) ** 2)
+
+    got = jax.grad(loss_fused, argnums=tuple(range(9)))(*args)
+    want = jax.grad(loss_ref, argnums=tuple(range(9)))(*args)
+    for i, (ga, wa) in enumerate(zip(got, want)):
+        scale = max(1.0, float(np.abs(np.asarray(wa)).max()))
+        np.testing.assert_allclose(
+            np.asarray(ga) / scale, np.asarray(wa) / scale, atol=5e-3,
+            err_msg=f"grad mismatch for arg {i}",
+        )
