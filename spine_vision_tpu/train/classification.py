@@ -36,7 +36,12 @@ from spine_vision_tpu.models import Classifier, make_multitask_loss_fn
 from spine_vision_tpu.ops.augment import AugmentConfig, augment_batch
 from spine_vision_tpu.ops.image import imagenet_normalize
 from spine_vision_tpu.parallel import is_main_process
-from spine_vision_tpu.train.trainer import BaseTrainer, TrainingConfig, TrainingResult
+from spine_vision_tpu.train.trainer import (
+    BaseTrainer,
+    TrainingConfig,
+    TrainingResult,
+    _resolve_use_pallas,
+)
 
 
 def create_tasks_for_training(
@@ -94,7 +99,7 @@ class ClassificationConfig(TrainingConfig):
     output_size: tuple[int, int] = (256, 256)
     augment: bool = True
 
-    use_pallas_mlp: bool = False
+    use_pallas_mlp: bool | None = None
     """Fused Pallas ConvNeXt-MLP kernel (custom VJP) — TPU-only, no effect
     on non-ConvNeXt backbones. See LocalizationConfig.use_pallas_mlp."""
 
@@ -170,10 +175,8 @@ class ClassificationTrainer(BaseTrainer[ClassificationConfig]):
                 tasks=tuple(tasks),
                 dropout=config.dropout,
                 dtype=jnp.bfloat16 if config.mixed_precision else jnp.float32,
-                use_pallas=(
-                    True
-                    if config.use_pallas_mlp and config.use_pallas_dwconv
-                    else ("mlp" if config.use_pallas_mlp else False)
+                use_pallas=_resolve_use_pallas(
+                    config.use_pallas_mlp, config.use_pallas_dwconv
                 ),
             )
 
