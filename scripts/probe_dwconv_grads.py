@@ -1,6 +1,14 @@
 """Split XLA depthwise-conv7x7 train cost into fwd / d_input / d_weight at
 each ConvNeXt-base@512 stage shape (batch 32). Identifies whether a
-targeted Pallas weight-grad kernel is worth writing."""
+targeted Pallas weight-grad kernel is worth writing.
+
+KNOWN LIMITATION: the isolated d_weight grad lowers to a conv with
+batch_group_count, which the remote compiler rejects ("Expected output
+feature dimension size (value 1) to be a multiple of batch group count") —
+fwd and dx measure fine, dw crashes. Inside the full model XLA takes a
+different path and compiles; use scripts/trace_train_step.py to read the
+in-model dwconv costs instead (end-of-round-2: ~1.3 ms per stage-1 conv
+pass, no pathological fusion left)."""
 
 from __future__ import annotations
 
