@@ -100,17 +100,42 @@ class MeshContext:
     def shard_batch(self, batch: Any) -> Any:
         """Device-put a host batch pytree with batch-axis sharding.
 
-        Per-array batch dims must be divisible by the data axis size; the
-        input pipeline guarantees this by padding/dropping remainders.
+        Single-process: ``batch`` is the global batch. Multi-process:
+        ``batch`` is this process's contiguous slice of the global batch
+        (exactly what :class:`~spine_vision_tpu.data.loader.DataLoader`
+        yields with its process slicing), and the global jax.Array is
+        assembled from the per-process shards — the data itself never
+        crosses hosts. Per-array batch dims must be divisible by the data
+        axis size; the input pipeline guarantees this by padding/dropping
+        remainders.
         """
         sharding = self.batch_sharding()
+        if jax.process_count() > 1:
+            return jax.tree_util.tree_map(
+                lambda x: jax.make_array_from_process_local_data(
+                    sharding, np.asarray(x)
+                ),
+                batch,
+            )
         return jax.tree_util.tree_map(
             lambda x: jax.device_put(np.asarray(x), sharding), batch
         )
 
     def replicate(self, tree: Any) -> Any:
-        """Device-put a pytree fully replicated across the mesh."""
+        """Device-put a pytree fully replicated across the mesh.
+
+        Multi-process: every process must pass the same (full) host values;
+        each contributes its addressable replicas of the global array.
+        """
         sharding = self.replicated()
+        if jax.process_count() > 1:
+            def _rep(x: Any) -> jax.Array:
+                arr = np.asarray(x)
+                return jax.make_array_from_callback(
+                    arr.shape, sharding, lambda idx: arr[idx]
+                )
+
+            return jax.tree_util.tree_map(_rep, tree)
         return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
@@ -198,5 +223,9 @@ def all_gather_host(x: Any) -> np.ndarray:
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
-        return np.asarray(multihost_utils.process_allgather(x))
+        # tiled=True: concatenate shards along axis 0 (a globally-sharded
+        # batch gathers to the full batch; replicated arrays pass through).
+        # Gathering non-fully-addressable arrays REQUIRES tiled=True —
+        # found by the real 2-process test (tests/test_multiprocess.py).
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
     return np.asarray(jax.device_get(x))
