@@ -238,6 +238,15 @@ def _decode_diffs(
                     diff = mag if mag >= (1 << (ssss - 1)) else mag - (1 << ssss) + 1
                 out[mcu, c] = diff
             mcu += 1
+        # A completed restart interval must end cleanly: fewer than 8
+        # unread bits, all 1s (T.81 byte-align padding). Otherwise the
+        # stream is corrupt and the tail pixels would be silent garbage.
+        if mcu == limit and (
+            p > nbits
+            or nbits - p >= 8
+            or (p < nbits and not bits[p:nbits].all())
+        ):
+            raise JpegLosslessError("Corrupt entropy tail")
     if mcu < total:
         raise JpegLosslessError(f"Truncated scan: {mcu}/{total} samples")
     return out
@@ -311,9 +320,36 @@ def decode_jpeg_lossless(data: bytes) -> np.ndarray:
             chunks = _split_restart_intervals(entropy)
             diffs = _decode_diffs(chunks, luts, ri, rows * cols, ncomp)
         for ci, sel in enumerate(selectors):
-            planes[sel] = _reconstruct(
-                diffs[:, ci], rows, cols, psv, frame.precision, al
-            )
+            comp = diffs[:, ci]
+            if ri and ri < rows * cols:
+                # T.81 H.2.2: prediction resets at every restart interval —
+                # each interval decodes like a fresh scan. Clinical encoders
+                # emit row-aligned intervals; reject anything else loudly
+                # rather than reconstruct garbage.
+                if ri % cols != 0:
+                    raise JpegLosslessError(
+                        f"Restart interval {ri} not a multiple of row "
+                        f"width {cols}; unsupported"
+                    )
+                slab = ri // cols
+                planes[sel] = np.concatenate(
+                    [
+                        _reconstruct(
+                            comp[r0 * cols : min(r0 + slab, rows) * cols],
+                            min(slab, rows - r0),
+                            cols,
+                            psv,
+                            frame.precision,
+                            al,
+                        )
+                        for r0 in range(0, rows, slab)
+                    ],
+                    axis=0,
+                )
+            else:
+                planes[sel] = _reconstruct(
+                    comp, rows, cols, psv, frame.precision, al
+                )
     ordered = [planes[cid] for cid in frame.comp_ids if cid in planes]
     if len(ordered) != frame.ncomp:
         raise JpegLosslessError("Missing component scan")

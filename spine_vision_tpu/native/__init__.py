@@ -209,6 +209,8 @@ def jpegls_decode_diffs_raw(
         total,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
+    if got == -2:
+        raise ValueError("Corrupt entropy tail")
     if got < 0:
         raise ValueError("Invalid Huffman code")
     if got < total:

@@ -199,6 +199,15 @@ int64_t jpegls_decode_diffs(const uint8_t* data, const int64_t* offsets,
       }
       ++mcu;
     }
+    // A completed restart interval must end cleanly: fewer than 8 unread
+    // bits, all of them 1s (T.81 byte-align padding). Anything else means
+    // the stream is corrupt and the decoded tail pixels are garbage.
+    if (mcu == limit) {
+      if (pos > nbits || nbits - pos >= 8) return -2;
+      for (int64_t b = pos; b < nbits; ++b) {
+        if (((p[b >> 3] >> (7 - (b & 7))) & 1) == 0) return -2;
+      }
+    }
   }
   return mcu;
 }

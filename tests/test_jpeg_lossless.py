@@ -148,3 +148,118 @@ def test_native_decode_matches_python_fallback():
         got_python = jl.decode_jpeg_lossless(data)
     np.testing.assert_array_equal(got_native, got_python)
     np.testing.assert_array_equal(got_native, img)
+
+
+# ---------------------------------------------------------------------------
+# Hand-derived ITU-T T.81 spec vectors (round-3, VERDICT item 9).
+#
+# Until now decode correctness rested on round-tripping against this repo's
+# own encoder — a self-consistent pair can be mutually wrong. These streams
+# are worked out byte-by-byte from the spec (annex references inline), so the
+# decoder is anchored to T.81 itself, like the reference's GDCM dependency
+# anchors it (reference io/readers.py:52-73).
+# ---------------------------------------------------------------------------
+
+
+def _marker(marker: int, payload: bytes) -> bytes:
+    import struct
+
+    return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(payload)) + payload
+
+
+def _sv1_stream(
+    entropy: bytes,
+    bits16: list[int],
+    values: list[int],
+    rows: int,
+    cols: int,
+    precision: int = 8,
+    dri: int | None = None,
+) -> bytes:
+    """Assemble SOI/DHT/SOF3/[DRI]/SOS/entropy/EOI around hand-coded bits."""
+    parts = [b"\xff\xd8"]
+    parts.append(_marker(0xC4, bytes([0x00]) + bytes(bits16) + bytes(values)))
+    import struct
+
+    sof = struct.pack(">BHHB", precision, rows, cols, 1) + bytes([1, 0x11, 0])
+    parts.append(_marker(0xC3, sof))
+    if dri is not None:
+        parts.append(_marker(0xDD, struct.pack(">H", dri)))
+    # SOS: 1 comp, selector 1, DC table 0, Ss=1 (PSV1), Se=0, AhAl=0
+    parts.append(_marker(0xDA, bytes([1, 1, 0x00, 1, 0, 0x00])))
+    parts.append(entropy)
+    parts.append(b"\xff\xd9")
+    return b"".join(parts)
+
+
+def test_t81_vector_basic_sv1():
+    """2x2 8-bit PSV1. DHT: bits=[1,1,1] values=[0,1,2] -> canonical codes
+    (F.2.2.1): cat0="0", cat1="10", cat2="110".
+
+    Pixels [[128,129],[127,127]]; H.1.2: first sample predicts
+    2^(P-1)=128 -> diff 0; row 0 then predicts Ra; first column predicts
+    Rb; else Ra (SV1). Diffs: 0, +1, -1, 0.
+    Bits (F.1.2.2.1: category code + SSSS magnitude bits, negative diffs
+    coded as diff + 2^SSSS - 1): "0" | "10"+"1" | "10"+"0" | "0" ->
+    01011000 = 0x58.
+    """
+    bits16 = [1, 1, 1] + [0] * 13
+    data = _sv1_stream(bytes([0x58]), bits16, [0, 1, 2], rows=2, cols=2)
+    out = decode_jpeg_lossless(data)
+    np.testing.assert_array_equal(
+        out, np.array([[128, 129], [127, 127]], dtype=np.uint16)
+    )
+
+
+def test_t81_vector_byte_stuffing_and_padding():
+    """1x2 8-bit PSV1 exercising 0xFF00 byte stuffing (F.1.2.3) and the
+    1-bit byte-align padding (B.1.1.5).
+
+    DHT bits=[1]*8, values 0..7: cat_k code = k ones then 0 (cat7 =
+    "11111110"). Pixels [255, 254]: diffs +127 (cat7, extra "1111111")
+    and -1 (cat1, extra "0").
+    Bitstream: 11111110 11111111 00 + six 1-pad bits ->
+    bytes FE, FF (stuffed 00), 3F.
+    """
+    bits16 = [1] * 8 + [0] * 8
+    data = _sv1_stream(
+        bytes([0xFE, 0xFF, 0x00, 0x3F]), bits16, list(range(8)), rows=1, cols=2
+    )
+    out = decode_jpeg_lossless(data)
+    np.testing.assert_array_equal(out, np.array([[255, 254]], dtype=np.uint16))
+
+
+def test_t81_vector_restart_interval_resets_prediction():
+    """2x2 8-bit PSV1 with DRI=2 (one restart per row). H.2.2: prediction
+    resets to the default 2^(P-1) at each restart interval — sample (1,0)
+    predicts 128, NOT the pixel above.
+
+    Pixels [[200,200],[100,100]].
+    Interval 1: diffs +72 (cat7 "11111110" + "1001000"), 0 ("0") ->
+    FE 90. Then RST0 (FFD0).
+    Interval 2: diffs -28 (cat5 "111110" + extra -28+31=3 -> "00011"),
+    0 ("0") -> 111110 00011 0 + 1111 pad -> F8 6F.
+    """
+    bits16 = [1] * 8 + [0] * 8
+    entropy = bytes([0xFE, 0x90, 0xFF, 0xD0, 0xF8, 0x6F])
+    data = _sv1_stream(
+        entropy, bits16, list(range(8)), rows=2, cols=2, dri=2
+    )
+    out = decode_jpeg_lossless(data)
+    np.testing.assert_array_equal(
+        out, np.array([[200, 200], [100, 100]], dtype=np.uint16)
+    )
+
+
+def test_t81_dirty_entropy_tail_rejected():
+    """A stream whose trailing pad bits are not all 1s (or that carries a
+    whole spare byte) must raise instead of silently decoding garbage
+    (round-2 advisor finding). Vector 1 with a 0-padded tail byte."""
+    from spine_vision_tpu.io.jpeg_lossless import JpegLosslessError
+
+    bits16 = [1, 1, 1] + [0] * 13
+    data = _sv1_stream(
+        bytes([0x58, 0x00]), bits16, [0, 1, 2], rows=2, cols=2
+    )
+    with pytest.raises(JpegLosslessError):
+        decode_jpeg_lossless(data)
