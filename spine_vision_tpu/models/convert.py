@@ -15,8 +15,14 @@ Conventions converted:
 - LayerNorm weight/bias -> scale/bias
 
 Supported architectures: the torchvision/timm ResNet family (basic +
-bottleneck, incl. ResNeXt/WideResNet naming) and timm/facebookresearch
-ConvNeXt v1/v2.
+bottleneck, incl. ResNeXt/WideResNet naming), timm/facebookresearch
+ConvNeXt v1/v2, ViT/DeiT, Swin, EfficientNet (v1), and MobileNetV3.
+
+Validation: tree/shape parity per family plus FULL-MODEL numeric oracles —
+random torch-format weights run through a hand-written torch.nn.functional
+forward must match the converted Flax forward to ~1e-4
+(tests/test_convert.py::test_*_full_model_matches_torch_oracle for
+ResNet-18, ConvNeXt-tiny, and ViT-tiny).
 """
 
 from __future__ import annotations

@@ -130,14 +130,21 @@ class ConvNeXtBlock(nn.Module):
     dtype: Any = jnp.float32
     use_pallas_dwconv: bool = False
     use_pallas_mlp: bool = False
+    # "tanh" (framework default; matches the Pallas kernels, deviation from
+    # erf < bf16 rounding) or "erf" (exact torch nn.GELU — for f32-level
+    # parity checks against reference/timm checkpoints; XLA path only, so
+    # the Pallas flags are ignored when set).
+    gelu: str = "tanh"
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         from spine_vision_tpu.ops.fused_mlp import MAX_FUSED_DIM
 
+        use_pallas_dwconv = self.use_pallas_dwconv and self.gelu != "erf"
+        use_pallas_mlp = self.use_pallas_mlp and self.gelu != "erf"
         if (
-            self.use_pallas_dwconv
-            and self.use_pallas_mlp
+            use_pallas_dwconv
+            and use_pallas_mlp
             and not self.use_grn
             and self.dim <= MAX_FUSED_DIM
         ):
@@ -178,7 +185,7 @@ class ConvNeXtBlock(nn.Module):
             )
 
         residual = x
-        if self.use_pallas_dwconv:
+        if use_pallas_dwconv:
             # Fused Pallas dwconv+bias+LayerNorm (ops.dwconv): measured
             # faster than the XLA sequence at every ConvNeXt stage on v5e
             # (3.4 vs 4.5 ms at C=128, 2.4 vs 3.7 at C=256, 2.8 vs 3.1 at
@@ -207,7 +214,7 @@ class ConvNeXtBlock(nn.Module):
                 feature_group_count=self.dim, dtype=self.dtype, name="dwconv",
             )(x)
             if (
-                self.use_pallas_mlp
+                use_pallas_mlp
                 and not self.use_grn
                 and self.dim <= MAX_FUSED_DIM
                 and self.layer_scale_init > 0
@@ -248,7 +255,7 @@ class ConvNeXtBlock(nn.Module):
 
         from spine_vision_tpu.ops.fused_mlp import MAX_FUSED_DIM
 
-        if self.use_pallas_mlp and not self.use_grn and self.dim <= MAX_FUSED_DIM:
+        if use_pallas_mlp and not self.use_grn and self.dim <= MAX_FUSED_DIM:
             # Fused Pallas MLP+LayerScale+residual (ops.fused_mlp): the 4C
             # hidden stays in VMEM and the block tail is absorbed so no
             # standalone elementwise pass trails the custom call. Param tree
@@ -287,8 +294,9 @@ class ConvNeXtBlock(nn.Module):
         y = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(y)
         # tanh-GELU framework-wide for the block MLP: matches the Pallas
         # kernels (ops/fused_mlp.py:_tanh_gelu — erf costs real VPU time in
-        # Mosaic, deviation < bf16 rounding), keeping flag paths interchangeable.
-        y = nn.gelu(y, approximate=True)
+        # Mosaic, deviation < bf16 rounding), keeping flag paths
+        # interchangeable. gelu="erf" opts into exact torch-GELU parity.
+        y = nn.gelu(y, approximate=self.gelu != "erf")
         if self.use_grn:
             y = GRN(dim=4 * self.dim, name="grn")(y)
         y = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(y)
@@ -313,6 +321,7 @@ class ConvNeXt(nn.Module):
     dtype: Any = jnp.float32
     use_pallas_dwconv: bool = False
     use_pallas_mlp: bool = False
+    gelu: str = "tanh"  # "erf" = exact torch-GELU parity (XLA path only)
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -345,6 +354,7 @@ class ConvNeXt(nn.Module):
                     dtype=self.dtype,
                     use_pallas_dwconv=self.use_pallas_dwconv,
                     use_pallas_mlp=self.use_pallas_mlp,
+                    gelu=self.gelu,
                     name=f"stage{stage_idx + 1}_block{block_idx + 1}",
                 )(x)
 

@@ -470,3 +470,256 @@ def test_mobilenetv3_conversion_matches_init_tree():
     )
     assert out.shape == (1, cfg.head_filters)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+# ---------------------------------------------------------------------------
+# Full-model numeric oracles (round-3, VERDICT item 5): run random torch-format
+# weights through the converter AND through a hand-written
+# torch.nn.functional forward of the reference architecture, and require the
+# Flax forward to match torch to ~1e-4. This is the end-to-end check that the
+# per-op convention tests above cannot give: a silent wiring error (downsample
+# order, BN eps, stride placement, qkv packing) fails here.
+# Reference: timm backbone consumption, training/models/backbone.py:143-177.
+# ---------------------------------------------------------------------------
+
+
+def _torch_resnet18_forward(sd, x):
+    """torchvision resnet18 (num_classes=0 contract) via F.* only."""
+    F = torch.nn.functional
+
+    def bn(name, h):
+        return F.batch_norm(
+            h,
+            sd[f"{name}.running_mean"],
+            sd[f"{name}.running_var"],
+            sd[f"{name}.weight"],
+            sd[f"{name}.bias"],
+            training=False,
+            eps=1e-5,
+        )
+
+    h = F.conv2d(x, sd["conv1.weight"], None, 2, 3)
+    h = F.relu(bn("bn1", h))
+    h = F.max_pool2d(h, 3, 2, 1)
+    for layer in (1, 2, 3, 4):
+        for b in (0, 1):
+            p = f"layer{layer}.{b}"
+            stride = 2 if (layer > 1 and b == 0) else 1
+            identity = h
+            out = F.conv2d(h, sd[f"{p}.conv1.weight"], None, stride, 1)
+            out = F.relu(bn(f"{p}.bn1", out))
+            out = F.conv2d(out, sd[f"{p}.conv2.weight"], None, 1, 1)
+            out = bn(f"{p}.bn2", out)
+            if f"{p}.downsample.0.weight" in sd:
+                identity = bn(
+                    f"{p}.downsample.1",
+                    F.conv2d(h, sd[f"{p}.downsample.0.weight"], None, stride),
+                )
+            h = F.relu(out + identity)
+    return h.mean(dim=(2, 3))
+
+
+def test_resnet18_full_model_matches_torch_oracle():
+    # Tame the random weights (keep running_var as-is: it must stay
+    # positive) so activations don't blow up f32 through 8 blocks.
+    sd = {
+        k: (v if "running_var" in k else v * 0.1)
+        for k, v in _synth_resnet18_torch_sd().items()
+    }
+    params, stats = convert_resnet_state_dict(sd)
+    model = ResNet(config=RESNET_CONFIGS["resnet18"], dtype=jnp.float32)
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        torch_out = _torch_resnet18_forward(sd, torch.tensor(x)).numpy()
+    jax_out = np.asarray(
+        model.apply(
+            {"params": params, "batch_stats": stats},
+            jnp.asarray(x.transpose(0, 2, 3, 1)),
+            train=False,
+        )
+    )
+    np.testing.assert_allclose(jax_out, torch_out, rtol=1e-4, atol=1e-4)
+
+
+def _torch_convnext_tiny_forward(sd, x, gelu="none"):
+    """facebookresearch ConvNeXt-tiny forward_features via F.* only."""
+    F = torch.nn.functional
+    dims = (96, 192, 384, 768)
+    depths = (3, 3, 9, 3)
+
+    def ln(prefix, h):  # channels-last LN, eps 1e-6 (reference impl)
+        return F.layer_norm(
+            h, (h.shape[-1],), sd[f"{prefix}.weight"], sd[f"{prefix}.bias"], 1e-6
+        )
+
+    h = F.conv2d(
+        x, sd["downsample_layers.0.0.weight"], sd["downsample_layers.0.0.bias"], 4
+    )
+    h = ln("downsample_layers.0.1", h.permute(0, 2, 3, 1))
+    for s in range(4):
+        if s > 0:
+            h = ln(f"downsample_layers.{s}.0", h).permute(0, 3, 1, 2)
+            h = F.conv2d(
+                h,
+                sd[f"downsample_layers.{s}.1.weight"],
+                sd[f"downsample_layers.{s}.1.bias"],
+                2,
+            ).permute(0, 2, 3, 1)
+        for b in range(depths[s]):
+            p = f"stages.{s}.{b}"
+            inp = h
+            y = F.conv2d(
+                h.permute(0, 3, 1, 2),
+                sd[f"{p}.dwconv.weight"],
+                sd[f"{p}.dwconv.bias"],
+                1,
+                3,
+                groups=dims[s],
+            ).permute(0, 2, 3, 1)
+            y = ln(f"{p}.norm", y)
+            y = F.linear(y, sd[f"{p}.pwconv1.weight"], sd[f"{p}.pwconv1.bias"])
+            y = F.gelu(y, approximate=gelu)
+            y = F.linear(y, sd[f"{p}.pwconv2.weight"], sd[f"{p}.pwconv2.bias"])
+            h = inp + sd[f"{p}.gamma"] * y
+    h = h.mean(dim=(1, 2))
+    return ln("norm", h)
+
+
+def _scaled_convnext_sd():
+    """Tame random weights so activations stay O(1) through 18 blocks."""
+    sd = _synth_convnext_tiny_torch_sd()
+    out = {}
+    for key, value in sd.items():
+        v = value * 0.2
+        if key.endswith(".gamma"):
+            v = value * 0.02
+        out[key] = v
+    return out
+
+
+@pytest.mark.parametrize("gelu", ["erf", "tanh"])
+def test_convnext_tiny_full_model_matches_torch_oracle(gelu):
+    """Both activation modes: gelu='erf' is exact torch nn.GELU parity
+    (PARITY.md: the framework default is tanh, deviation < bf16 rounding);
+    'tanh' pins the default path against torch's approximate='tanh'."""
+    sd = _scaled_convnext_sd()
+    params = convert_convnext_state_dict(sd)
+    model = ConvNeXt(
+        config=CONVNEXT_CONFIGS["convnext_tiny"], dtype=jnp.float32, gelu=gelu
+    )
+
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        torch_out = _torch_convnext_tiny_forward(
+            sd, torch.tensor(x), gelu="none" if gelu == "erf" else "tanh"
+        ).numpy()
+    jax_out = np.asarray(
+        model.apply(
+            {"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False
+        )
+    )
+    np.testing.assert_allclose(jax_out, torch_out, rtol=1e-4, atol=1e-4)
+
+
+def _torch_vit_forward(sd, x, num_heads, depth):
+    """timm vit (class-token pooling) via F.* only."""
+    F = torch.nn.functional
+    d = sd["cls_token"].shape[-1]
+    h = F.conv2d(x, sd["patch_embed.proj.weight"], sd["patch_embed.proj.bias"], 16)
+    bsz = h.shape[0]
+    h = h.flatten(2).transpose(1, 2)
+    h = torch.cat([sd["cls_token"].expand(bsz, -1, -1), h], dim=1)
+    h = h + sd["pos_embed"]
+
+    def ln(prefix, t):
+        return F.layer_norm(
+            t, (d,), sd[f"{prefix}.weight"], sd[f"{prefix}.bias"], 1e-6
+        )
+
+    def split_heads(t):
+        return t.view(bsz, -1, num_heads, d // num_heads).transpose(1, 2)
+
+    for i in range(depth):
+        tp = f"blocks.{i}"
+        y = ln(f"{tp}.norm1", h)
+        qkv = F.linear(y, sd[f"{tp}.attn.qkv.weight"], sd[f"{tp}.attn.qkv.bias"])
+        q, k, v = qkv.chunk(3, dim=-1)
+        att = F.scaled_dot_product_attention(
+            split_heads(q), split_heads(k), split_heads(v)
+        )
+        att = att.transpose(1, 2).reshape(bsz, -1, d)
+        h = h + F.linear(
+            att, sd[f"{tp}.attn.proj.weight"], sd[f"{tp}.attn.proj.bias"]
+        )
+        y = ln(f"{tp}.norm2", h)
+        y = F.linear(y, sd[f"{tp}.mlp.fc1.weight"], sd[f"{tp}.mlp.fc1.bias"])
+        y = F.gelu(y)
+        y = F.linear(y, sd[f"{tp}.mlp.fc2.weight"], sd[f"{tp}.mlp.fc2.bias"])
+        h = h + y
+    return ln("norm", h)[:, 0]
+
+
+def test_vit_tiny_full_model_matches_torch_oracle():
+    from spine_vision_tpu.models.vit import VIT_CONFIGS, ViT
+
+    cfg = VIT_CONFIGS["vit_tiny"]
+    model = ViT(config=cfg, dtype=jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)), train=False
+    )
+    # Randomize EVERY leaf (init zeros would hide bias/cls wiring errors),
+    # scaled small so activations stay sane through 12 blocks.
+    rng = np.random.default_rng(5)
+    p = jax.tree_util.tree_map(
+        lambda a: (rng.normal(size=a.shape) * 0.05).astype(np.float32),
+        jax.tree_util.tree_map(np.asarray, variables["params"]),
+    )
+
+    d = cfg.hidden_dim
+    sd = {"cls_token": _t(p["cls_token"]), "pos_embed": _t(p["pos_embed"])}
+    sd["patch_embed.proj.weight"] = _inv_conv(p["patch_embed"]["kernel"])
+    sd["patch_embed.proj.bias"] = _t(p["patch_embed"]["bias"])
+    for i in range(1, cfg.depth + 1):
+        blk = p[f"block{i}"]
+        tp = f"blocks.{i - 1}"
+        for norm in ("norm1", "norm2"):
+            sd[f"{tp}.{norm}.weight"] = _t(blk[norm]["scale"])
+            sd[f"{tp}.{norm}.bias"] = _t(blk[norm]["bias"])
+        qkv_w = np.concatenate(
+            [
+                blk["attn"][k]["kernel"].reshape(d, d).T
+                for k in ("query", "key", "value")
+            ],
+            axis=0,
+        )
+        qkv_b = np.concatenate(
+            [blk["attn"][k]["bias"].reshape(-1) for k in ("query", "key", "value")]
+        )
+        sd[f"{tp}.attn.qkv.weight"] = _t(qkv_w)
+        sd[f"{tp}.attn.qkv.bias"] = _t(qkv_b)
+        sd[f"{tp}.attn.proj.weight"] = _t(blk["attn"]["out"]["kernel"].reshape(d, d).T)
+        sd[f"{tp}.attn.proj.bias"] = _t(blk["attn"]["out"]["bias"])
+        sd[f"{tp}.mlp.fc1.weight"] = _inv_linear(blk["fc1"]["kernel"])
+        sd[f"{tp}.mlp.fc1.bias"] = _t(blk["fc1"]["bias"])
+        sd[f"{tp}.mlp.fc2.weight"] = _inv_linear(blk["fc2"]["kernel"])
+        sd[f"{tp}.mlp.fc2.bias"] = _t(blk["fc2"]["bias"])
+    sd["norm.weight"] = _t(p["norm"]["scale"])
+    sd["norm.bias"] = _t(p["norm"]["bias"])
+    sd["head.weight"] = _t(np.zeros((10, d)))
+    sd["head.bias"] = _t(np.zeros(10))
+
+    converted = convert_vit_state_dict(sd, cfg.num_heads)
+    x = rng.normal(size=(1, 3, 224, 224)).astype(np.float32)
+    with torch.no_grad():
+        torch_out = _torch_vit_forward(
+            sd, torch.tensor(x), cfg.num_heads, cfg.depth
+        ).numpy()
+    jax_out = np.asarray(
+        model.apply(
+            {"params": converted}, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False
+        )
+    )
+    np.testing.assert_allclose(jax_out, torch_out, rtol=1e-4, atol=1e-4)
