@@ -179,18 +179,22 @@ def _mlp_bwd_kernel(
     dw2_ref,
     db2_ref,
     dgamma_ref,
+    acc_ref,
 ):
     """One (token-tile i, H-chunk j) backward step.
 
     Grid is (num_token_tiles, num_h_chunks) with j innermost, so the
-    fixed-index accumulator outputs (dw1/db1/dw2/db2/dgamma and, within one
-    i, dx) are revisited on consecutive steps and stay VMEM-resident; each
-    step recomputes its hidden chunk from x so nothing hidden-sized ever
-    touches HBM (the point of the kernel: XLA's backward round-trips the
-    4C-wide hidden twice).
+    fixed-index accumulator outputs (dw1/db1/dw2/db2/dgamma) are revisited
+    on consecutive steps and stay VMEM-resident; each step recomputes its
+    hidden chunk from x so nothing hidden-sized ever touches HBM (the point
+    of the kernel: XLA's backward round-trips the 4C-wide hidden twice).
+    dx accumulates across H chunks in the f32 VMEM scratch and is written
+    once per token tile in the input dtype (bf16-sized HBM write, no
+    trailing XLA convert pass).
     """
     i = pl.program_id(0)
     j = pl.program_id(1)
+    num_h = pl.num_programs(1)
     hc = w1_ref.shape[1]
 
     x = x_ref[:]
@@ -235,11 +239,15 @@ def _mlp_bwd_kernel(
 
     @pl.when(j == 0)
     def _():
-        dx_ref[:] = dx_part.astype(dx_ref.dtype)
+        acc_ref[:] = dx_part
 
     @pl.when(j > 0)
     def _():
-        dx_ref[:] += dx_part.astype(dx_ref.dtype)
+        acc_ref[:] += dx_part
+
+    @pl.when(j == num_h - 1)
+    def _():
+        dx_ref[:] = acc_ref[:].astype(dx_ref.dtype)
 
     @pl.when(i == 0)
     def _():
@@ -303,10 +311,10 @@ def _mlp_bwd_pallas(
         x = jnp.pad(x, ((0, padded_m - m), (0, 0)))
         g = jnp.pad(g, ((0, padded_m - m), (0, 0)))
     num_h = h // hc
-    # dx is written once per token tile when H fits one chunk -> emit it in
-    # the input dtype (halves the dominant HBM write); chunked accumulation
-    # (C=512) stays f32 for exact summation.
-    dx_dtype = x.dtype if num_h == 1 else jnp.float32
+    # dx accumulates in an f32 VMEM scratch across H chunks and is written
+    # once per token tile in the input dtype: bf16-sized HBM write, exact
+    # f32 summation, and no trailing XLA convert pass.
+    dx_dtype = x.dtype
 
     tok = pl.BlockSpec((tm, c), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
     dx_spec = pl.BlockSpec((tm, c), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
@@ -342,6 +350,7 @@ def _mlp_bwd_pallas(
             jax.ShapeDtypeStruct((1, c), jnp.float32),
             jax.ShapeDtypeStruct((1, c), jnp.float32),
         ],
+        scratch_shapes=[pltpu.VMEM((tm, c), jnp.float32)],
         interpret=interpret,
     )(x, g, w1, b1.reshape(1, h), w2, b2.reshape(1, c), gamma.reshape(1, c))
     dx, dw1, db1, dw2, db2, dgamma = outs
@@ -573,14 +582,17 @@ def _ln_mlp_pallas(
 def _ln_mlp_bwd_kernel(
     x_ref, g_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref, b2_ref, gamma_ref,
     dx_ref, dls_ref, dlb_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dgamma_ref,
+    acc_ref,
 ):
     """One (token-tile i, H-chunk j) backward step of the LN-fused MLP.
 
     Same structure as :func:`_mlp_bwd_kernel`, with the LayerNorm recomputed
-    per step from the raw x tile (its output y is the MLP input), and dx_ref
-    used as the g_y accumulator across j: on the last chunk the accumulated
-    g_y is pushed through the LayerNorm backward in place, and the LN param
-    grads accumulate into their own fixed blocks.
+    per step from the raw x tile (its output y is the MLP input). g_y
+    accumulates across H chunks in an f32 VMEM scratch (``acc_ref``); on the
+    last chunk the sum is pushed through the LayerNorm backward and written
+    to ``dx_ref`` in the INPUT dtype — the dx HBM write is bf16-sized and
+    the XLA ``convert`` pass that used to trail every block (f32 dx ->
+    bf16, ~5 ms/step over 27 C=512 blocks in the round-2 trace) disappears.
     """
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -626,19 +638,19 @@ def _ln_mlp_bwd_kernel(
     )
     db1_part = jnp.sum(g_hpre_f, axis=0, keepdims=True)
 
-    # Accumulate g_y across H chunks in the dx output block (f32).
+    # Accumulate g_y across H chunks in the f32 VMEM scratch.
     @pl.when(j == 0)
     def _():
-        dx_ref[:] = g_y_part.astype(dx_ref.dtype)
+        acc_ref[:] = g_y_part
 
     @pl.when(j > 0)
     def _():
-        dx_ref[:] += g_y_part.astype(dx_ref.dtype)
+        acc_ref[:] += g_y_part
 
-    # Last chunk: finish the LayerNorm backward in place.
+    # Last chunk: finish the LayerNorm backward and emit dx (input dtype).
     @pl.when(j == num_h - 1)
     def _():
-        g_y = dx_ref[:].astype(jnp.float32)
+        g_y = acc_ref[:]
         dls_part = jnp.sum(g_y * yhat, axis=0, keepdims=True)
         dlb_part = jnp.sum(g_y, axis=0, keepdims=True)
         dyhat = g_y * ls
@@ -746,7 +758,7 @@ def _ln_mlp_bwd_pallas(
             fix((1, c)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((padded_m, c), jnp.float32),
+            jax.ShapeDtypeStruct((padded_m, c), x.dtype),
             jax.ShapeDtypeStruct((1, c), jnp.float32),
             jax.ShapeDtypeStruct((1, c), jnp.float32),
             jax.ShapeDtypeStruct((c, h), jnp.float32),
@@ -755,6 +767,7 @@ def _ln_mlp_bwd_pallas(
             jax.ShapeDtypeStruct((1, c), jnp.float32),
             jax.ShapeDtypeStruct((1, c), jnp.float32),
         ],
+        scratch_shapes=[pltpu.VMEM((tm, c), jnp.float32)],
         interpret=interpret,
     )(
         x,
