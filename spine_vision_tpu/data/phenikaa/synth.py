@@ -161,12 +161,23 @@ def recognition_batch(
     width: int = 256,
     max_len: int = 40,
     augment: bool = True,
+    degrade: str | None = None,
+    degrade_p: float = 1.0,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, list[str]]:
-    """Rendered lines + CTC targets: (images [n,h,w], ids, pad, texts)."""
+    """Rendered lines + CTC targets: (images [n,h,w], ids, pad, texts).
+
+    ``degrade``: optional scan-degradation profile ("mild"/"hard",
+    :func:`degrade_image`) applied to each line with prob ``degrade_p``.
+    """
     texts = [sample_line_text(rng) for _ in range(n)]
-    images = np.stack(
-        [render_line(t, rng, height, width, augment=augment) for t in texts]
-    )
+
+    def render(t: str) -> np.ndarray:
+        arr = render_line(t, rng, height, width, augment=augment)
+        if degrade is not None and rng.random() < degrade_p:
+            arr = degrade_image(arr, rng, profile=degrade)
+        return arr
+
+    images = np.stack([render(t) for t in texts])
     encoded = [encode_text(t, max_len) for t in texts]
     ids = np.stack([e[0] for e in encoded])
     pad = np.stack([e[1] for e in encoded])
@@ -178,10 +189,14 @@ def detection_page(
     page_hw: tuple[int, int] = (320, 448),
     max_lines: int = 8,
     augment: bool = True,
+    degrade: str | None = None,
+    degrade_p: float = 1.0,
 ) -> tuple[np.ndarray, np.ndarray, list[str]]:
     """Composite page of text lines: (page [H,W], boxes [N,4] xyxy, texts).
 
     Lines are placed on a jittered row grid so boxes never overlap.
+    ``degrade``: optional scan-degradation profile; the returned boxes are
+    mapped through the same geometric transform.
     """
     from PIL import Image, ImageDraw, ImageFont
 
@@ -213,7 +228,10 @@ def detection_page(
     arr = np.asarray(img, dtype=np.float32)
     if augment:
         arr = np.clip(arr + rng.normal(0.0, 5.0, arr.shape), 0, 255)
-    return arr.astype(np.float32), np.asarray(boxes, dtype=np.float32), texts
+    boxes_arr = np.asarray(boxes, dtype=np.float32)
+    if degrade is not None and rng.random() < degrade_p:
+        arr, boxes_arr = degrade_image(arr, rng, profile=degrade, boxes=boxes_arr)
+    return arr.astype(np.float32), boxes_arr, texts
 
 
 def detection_target(
@@ -262,3 +280,161 @@ def render_report_page(
         draw.text((24, y), line, fill=10, font=font)
         y += 42
     return np.asarray(img, dtype=np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Scan-style degradation (round 3): geometric + photometric artifacts so the
+# OCR numbers mean something off the clean rendering distribution. The
+# reference leans on production PaddleOCR/VietOCR robustness (reference
+# datasets/phenikaa/ocr.py:24-145); here the robustness is trained in.
+#
+# Profiles: "mild" mirrors what training adds on top of the clean renderer;
+# "hard" is the held-out evaluation profile — strictly harsher than
+# anything seen in training (bigger rotations, stronger compression, more
+# clutter), so eval CER/recall are genuine generalization numbers.
+# ---------------------------------------------------------------------------
+
+DEGRADE_PROFILES = {
+    "mild": {
+        "rotate_deg": 1.5,
+        "shear": 0.04,
+        "perspective": 0.008,
+        "jpeg_q": (55, 90),
+        "salt_pepper": 0.002,
+        "vignette": 0.15,
+        "lines": 1,
+        "p_geom": 0.5,
+        "p_jpeg": 0.4,
+        "p_lines": 0.25,
+    },
+    "hard": {
+        "rotate_deg": 3.0,
+        "shear": 0.08,
+        "perspective": 0.015,
+        "jpeg_q": (30, 60),
+        "salt_pepper": 0.006,
+        "vignette": 0.3,
+        "lines": 3,
+        "p_geom": 1.0,
+        "p_jpeg": 1.0,
+        "p_lines": 0.7,
+    },
+}
+
+
+def _affine_coeffs(width, height, rot_rad, shear_x, persp):
+    """Inverse-map coefficients for PIL PERSPECTIVE transform: output (x,y)
+    -> input (ax+by+c)/(gx+hy+1), (dx+ey+f)/(gx+hy+1). Rotation about the
+    image center + x-shear + a small projective term."""
+    import math
+
+    cx, cy = width / 2.0, height / 2.0
+    cos, sin = math.cos(rot_rad), math.sin(rot_rad)
+    # inverse rotation (output->input) with shear folded in
+    a, b = cos, sin + shear_x
+    d, e = -sin, cos
+    c = cx - a * cx - b * cy
+    f = cy - d * cx - e * cy
+    return (a, b, c, d, e, f, persp / max(width, 1), persp / max(height, 1))
+
+
+def degrade_image(
+    arr: np.ndarray,
+    rng: np.random.Generator,
+    profile: str = "mild",
+    boxes: np.ndarray | None = None,
+) -> np.ndarray | tuple[np.ndarray, np.ndarray]:
+    """Apply scan-style degradation to a rendered line/page.
+
+    Args:
+        arr: float32 [H, W] in [0, 255] (light background, dark glyphs).
+        rng: numpy Generator (deterministic pipeline).
+        profile: "mild" (training) or "hard" (held-out eval).
+        boxes: optional [N, 4] xyxy text boxes; when given they are mapped
+            through the same geometric transform (axis-aligned hull) and
+            returned alongside the image.
+
+    Returns:
+        degraded image, or (image, boxes) when boxes were given.
+    """
+    from PIL import Image
+
+    p = DEGRADE_PROFILES[profile]
+    h, w = arr.shape
+    out_boxes = None if boxes is None else np.asarray(boxes, np.float64).copy()
+
+    # Geometric: rotation + shear + slight perspective via one transform.
+    if rng.random() < p["p_geom"]:
+        rot = np.deg2rad(rng.uniform(-p["rotate_deg"], p["rotate_deg"]))
+        shear = rng.uniform(-p["shear"], p["shear"])
+        persp = rng.uniform(-p["perspective"], p["perspective"])
+        coeffs = _affine_coeffs(w, h, rot, shear, persp)
+        img = Image.fromarray(np.clip(arr, 0, 255).astype(np.uint8), "L")
+        img = img.transform(
+            (w, h), Image.PERSPECTIVE, coeffs, Image.BILINEAR, fillcolor=245
+        )
+        arr = np.asarray(img, dtype=np.float32)
+        if out_boxes is not None and len(out_boxes):
+            a, b, c, d, e, f, g, hh = coeffs
+            # coeffs are the inverse map; invert the affine part to push
+            # box corners forward (the projective term is tiny).
+            det = a * e - b * d
+            ia, ib = e / det, -b / det
+            id_, ie = -d / det, a / det
+            ic = -(ia * c + ib * f)
+            if_ = -(id_ * c + ie * f)
+            corners = np.stack(
+                [
+                    out_boxes[:, [0, 1]],
+                    out_boxes[:, [2, 1]],
+                    out_boxes[:, [0, 3]],
+                    out_boxes[:, [2, 3]],
+                ],
+                axis=1,
+            )  # [N, 4, 2]
+            xs = ia * corners[..., 0] + ib * corners[..., 1] + ic
+            ys = id_ * corners[..., 0] + ie * corners[..., 1] + if_
+            out_boxes = np.stack(
+                [xs.min(1), ys.min(1), xs.max(1), ys.max(1)], axis=1
+            )
+
+    # Bleed-through / ruled lines.
+    if rng.random() < p["p_lines"]:
+        for _ in range(int(rng.integers(1, p["lines"] + 1))):
+            shade = float(rng.uniform(120, 200))
+            if rng.random() < 0.5:
+                y = int(rng.integers(0, h))
+                arr[y : y + 1, :] = np.minimum(arr[y : y + 1, :], shade)
+            else:
+                x = int(rng.integers(0, w))
+                arr[:, x : x + 1] = np.minimum(arr[:, x : x + 1], shade)
+
+    # Vignetting (radial illumination falloff).
+    if p["vignette"] > 0:
+        strength = rng.uniform(0.0, p["vignette"])
+        yy, xx = np.mgrid[0:h, 0:w]
+        r2 = ((yy - h / 2) / (h / 2)) ** 2 + ((xx - w / 2) / (w / 2)) ** 2
+        arr = arr * (1.0 - strength * r2 / 2.0)
+
+    # Salt & pepper.
+    if p["salt_pepper"] > 0:
+        mask = rng.random(arr.shape)
+        arr = np.where(mask < p["salt_pepper"] / 2, 0.0, arr)
+        arr = np.where(mask > 1.0 - p["salt_pepper"] / 2, 255.0, arr)
+
+    # JPEG round trip (blocking artifacts).
+    if rng.random() < p["p_jpeg"]:
+        import io as _io
+
+        q = int(rng.integers(p["jpeg_q"][0], p["jpeg_q"][1] + 1))
+        buf = _io.BytesIO()
+        Image.fromarray(np.clip(arr, 0, 255).astype(np.uint8), "L").save(
+            buf, format="JPEG", quality=q
+        )
+        buf.seek(0)
+        arr = np.asarray(Image.open(buf), dtype=np.float32)
+
+    return arr.astype(np.float32) if out_boxes is None else (
+        arr.astype(np.float32),
+        out_boxes.astype(np.float32),
+    )

@@ -117,8 +117,11 @@ def _render_chunk_recognition(
 
     def one(i: int):
         local = np.random.default_rng(rng.integers(2**63))
+        # clean + MILD scan degradation (70% of lines); the held-out eval
+        # profile ("hard") is strictly harsher — see synth.DEGRADE_PROFILES.
         images, ids, pad, _ = synth.recognition_batch(
-            local, batch, width=width, max_len=max_len
+            local, batch, width=width, max_len=max_len,
+            degrade="mild", degrade_p=0.7,
         )
         return images, ids, pad
 
@@ -224,10 +227,14 @@ def evaluate_recognizer(
     seed: int = 123,
     n: int = 256,
     width: int = 256,
+    degrade: str | None = None,
 ) -> float:
-    """CER on freshly rendered held-out lines (light augmentation)."""
+    """CER on freshly rendered held-out lines (light augmentation); pass
+    degrade="hard" for the off-distribution scan-degradation profile."""
     rng = np.random.default_rng(seed)
-    images, _, _, texts = synth.recognition_batch(rng, n, width=width)
+    images, _, _, texts = synth.recognition_batch(
+        rng, n, width=width, degrade=degrade
+    )
     forward = jax.jit(lambda v, x: model.apply(v, x, train=False))
     logits = np.asarray(
         forward(variables, jnp.asarray(images / 255.0, jnp.float32)[..., None])
@@ -249,7 +256,9 @@ def _render_chunk_detection(
         local = np.random.default_rng(rng.integers(2**63))
         pages, targets = [], []
         for _ in range(batch):
-            page, boxes, _ = synth.detection_page(local, page_hw)
+            page, boxes, _ = synth.detection_page(
+                local, page_hw, degrade="mild", degrade_p=0.7
+            )
             pages.append(page)
             targets.append(synth.detection_target(boxes, page_hw))
         return np.stack(pages), np.stack(targets)
@@ -356,14 +365,18 @@ def evaluate_detector(
     seed: int = 123,
     n_pages: int = 32,
     iou_threshold: float = 0.3,
+    degrade: str | None = None,
 ) -> float:
-    """Fraction of ground-truth line boxes matched by a detection (IoU)."""
+    """Fraction of ground-truth line boxes matched by a detection (IoU);
+    pass degrade="hard" for the off-distribution scan profile."""
     rng = np.random.default_rng(seed)
     forward = jax.jit(lambda v, x: model.apply(v, x, train=False))
     matched = 0
     total = 0
     for _ in range(n_pages):
-        page, gt_boxes, _ = synth.detection_page(rng, page_hw, augment=False)
+        page, gt_boxes, _ = synth.detection_page(
+            rng, page_hw, augment=False, degrade=degrade
+        )
         prob = np.asarray(
             forward(variables, jnp.asarray(page / 255.0, jnp.float32)[None, ..., None])
         )[0, :, :, 0]
@@ -406,14 +419,28 @@ def train_ocr_stack(
 ) -> dict[str, float]:
     """Train both OCR nets and write the default weight files."""
     out = Path(output_dir) if output_dir is not None else DEFAULT_WEIGHTS_DIR
-    _, cer = train_recognizer(
+    rec_vars, cer = train_recognizer(
         steps=recognizer_steps,
         seed=seed,
         output_path=out / "ocr_recognizer.npz",
     )
-    _, recall = train_detector(
+    det_vars, recall = train_detector(
         steps=detector_steps,
         seed=seed,
         output_path=out / "ocr_detector.npz",
     )
-    return {"recognizer_cer": cer, "detector_box_recall": recall}
+    # Off-distribution numbers: the "hard" scan-degradation profile is
+    # strictly harsher than anything in training (synth.DEGRADE_PROFILES) —
+    # these are the generalization metrics the clean ones can't give.
+    cer_hard = evaluate_recognizer(
+        TextRecognitionNet(), rec_vars, degrade="hard"
+    )
+    recall_hard = evaluate_detector(
+        TextDetectionNet(), det_vars, degrade="hard"
+    )
+    return {
+        "recognizer_cer": cer,
+        "detector_box_recall": recall,
+        "recognizer_cer_degraded": cer_hard,
+        "detector_box_recall_degraded": recall_hard,
+    }
