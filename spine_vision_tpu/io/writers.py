@@ -41,8 +41,19 @@ def write_medical_image(
                     "Single .dcm target but multi-slice volume; write to a "
                     "directory (no extension) for a DICOM series"
                 )
-            paths = write_dicom_series(image, output_path.parent)
-            paths[0].rename(output_path)
+            # Stage in a temp dir and move once: writing slice_0001.dcm
+            # directly into the parent could clobber a pre-existing series
+            # slice there (round-2 advisor finding).
+            import shutil
+            import tempfile
+
+            with tempfile.TemporaryDirectory(
+                dir=output_path.parent
+            ) as staging:
+                paths = write_dicom_series(image, Path(staging))
+                if output_path.exists():
+                    logger.warning("Overwriting existing file: %s", output_path)
+                shutil.move(str(paths[0]), str(output_path))
         else:
             write_dicom_series(image, output_path)
     else:

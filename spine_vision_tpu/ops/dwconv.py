@@ -417,11 +417,14 @@ def _dw_ln_ad(
 
 def _dw_ln_fwd(x, kernel, bias, ln_scale, ln_bias, tile_h, eps, interpret):
     out = _dw_ln_pallas(x, kernel, bias, ln_scale, ln_bias, tile_h, eps, interpret)
-    return out, (x, kernel, bias, ln_scale)
+    # ln_bias's VALUE is not needed by the backward, but carry the ([C])
+    # array so the dbeta cotangent comes back in ln_bias's own dtype even
+    # if ln_scale and ln_bias ever differ (round-2 advisor finding).
+    return out, (x, kernel, bias, ln_scale, ln_bias)
 
 
 def _dw_ln_bwd(tile_h, eps, interpret, saved, g):
-    x, kernel, bias, ln_scale = saved
+    x, kernel, bias, ln_scale, ln_bias = saved
     dx, dkernel, dbias, dscale, dbeta = _dw_ln_bwd_pallas(
         x, kernel, bias, ln_scale, g, tile_h, eps, interpret
     )
@@ -430,7 +433,7 @@ def _dw_ln_bwd(tile_h, eps, interpret, saved, g):
         dkernel.astype(kernel.dtype),
         dbias.astype(bias.dtype),
         dscale.astype(ln_scale.dtype),
-        dbeta.astype(ln_scale.dtype),
+        dbeta.astype(ln_bias.dtype),
     )
 
 
