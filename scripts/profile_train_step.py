@@ -5,6 +5,9 @@ from __future__ import annotations
 
 import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 import jax.numpy as jnp
@@ -74,6 +77,7 @@ if __name__ == "__main__":
         "xla": False,
         "mlp": "mlp",
         "mega": True,
+        "block": "block",
     }
     modes = ["fwd", "fwdbwd"] if which == "all" else [which.split(":")[0]]
     sel = (

@@ -32,7 +32,7 @@ ITERS = 3
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "mlp"
     mode = sys.argv[2] if len(sys.argv) > 2 else "fwdbwd"
-    use_pallas = {"xla": False, "mlp": "mlp", "mega": True}[which]
+    use_pallas = {"xla": False, "mlp": "mlp", "mega": True, "block": "block"}[which]
 
     from spine_vision_tpu.models import CoordinateRegressor
 

@@ -114,10 +114,11 @@ class BackboneFactory:
                 (ResNet/EfficientNet families).
             use_pallas: Enable the fused Pallas kernels where a family has
                 them (ConvNeXt). True = all (dwconv+LN and MLP+tail; 1.66x
-                forward on v5e — see AGENTS.md); "mlp" = just the fused
-                MLP. Both kernels carry custom VJPs (backward recomputes
-                via XLA), so either setting is trainable (+4% measured
-                train step for convnext_base@512).
+                forward on v5e — see AGENTS.md); "mlp" = just the LN-fused
+                MLP (the round-2 training default); "block" = the whole-
+                block TRAINING kernel (ops.block_train: megakernel forward
+                + single fused backward with depthwise grads folded in).
+                All modes carry custom VJPs, so every setting is trainable.
 
         Returns:
             (module, feature_dim).
@@ -138,7 +139,8 @@ class BackboneFactory:
                 config=cn_config,
                 dtype=dtype,
                 use_pallas_dwconv=use_pallas is True,
-                use_pallas_mlp=bool(use_pallas),
+                use_pallas_mlp=use_pallas in (True, "mlp"),
+                use_pallas_block=use_pallas == "block",
             )
             dim = cn_config.num_features
         elif family == "vit":

@@ -130,6 +130,9 @@ class ConvNeXtBlock(nn.Module):
     dtype: Any = jnp.float32
     use_pallas_dwconv: bool = False
     use_pallas_mlp: bool = False
+    # Whole-block TRAINING kernel (ops.block_train): megakernel forward +
+    # single fused backward (MLP/LN/depthwise grads) + one XLA conv for dx.
+    use_pallas_block: bool = False
     # "tanh" (framework default; matches the Pallas kernels, deviation from
     # erf < bf16 rounding) or "erf" (exact torch nn.GELU — for f32-level
     # parity checks against reference/timm checkpoints; XLA path only, so
@@ -138,10 +141,54 @@ class ConvNeXtBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        import jax
+
         from spine_vision_tpu.ops.fused_mlp import MAX_FUSED_DIM
 
-        use_pallas_dwconv = self.use_pallas_dwconv and self.gelu != "erf"
-        use_pallas_mlp = self.use_pallas_mlp and self.gelu != "erf"
+        # Mosaic requires the channel (lane) dim to be a multiple of 128 on
+        # real TPUs — C=96 (convnext_tiny) fails at compile with
+        # "Slice shape along dimension 3 must be aligned to tiling (128)".
+        # CPU interpret mode has no such constraint (parity tests use it).
+        lane_ok = self.dim % 128 == 0 or jax.default_backend() == "cpu"
+        use_pallas_dwconv = (
+            self.use_pallas_dwconv and self.gelu != "erf" and lane_ok
+        )
+        use_pallas_mlp = self.use_pallas_mlp and self.gelu != "erf" and lane_ok
+        use_pallas_block = (
+            self.use_pallas_block and self.gelu != "erf" and lane_ok
+        )
+        if (
+            use_pallas_block
+            and not self.use_grn
+            and self.dim <= MAX_FUSED_DIM
+            and self.layer_scale_init > 0
+        ):
+            import jax
+
+            from spine_vision_tpu.ops.block_train import convnext_block_train
+
+            kernel, bias = _DwConvParams(self.dim, name="dwconv")()
+            scale, beta = _LayerNormParams(self.dim, name="norm")()
+            w1, b1 = _DenseParams(self.dim, 4 * self.dim, name="pwconv1")()
+            w2, b2 = _DenseParams(4 * self.dim, self.dim, name="pwconv2")()
+            gamma = self.param(
+                "gamma",
+                nn.initializers.constant(self.layer_scale_init),
+                (self.dim,),
+            )
+            return convnext_block_train(
+                x.astype(self.dtype),
+                kernel.reshape(7, 7, self.dim).astype(self.dtype),
+                bias,
+                scale,
+                beta,
+                w1.astype(self.dtype),
+                b1,
+                w2.astype(self.dtype),
+                b2,
+                gamma,
+                interpret=jax.default_backend() == "cpu",
+            )
         if (
             use_pallas_dwconv
             and use_pallas_mlp
@@ -321,6 +368,7 @@ class ConvNeXt(nn.Module):
     dtype: Any = jnp.float32
     use_pallas_dwconv: bool = False
     use_pallas_mlp: bool = False
+    use_pallas_block: bool = False
     gelu: str = "tanh"  # "erf" = exact torch-GELU parity (XLA path only)
 
     @nn.compact
@@ -354,6 +402,7 @@ class ConvNeXt(nn.Module):
                     dtype=self.dtype,
                     use_pallas_dwconv=self.use_pallas_dwconv,
                     use_pallas_mlp=self.use_pallas_mlp,
+                    use_pallas_block=self.use_pallas_block,
                     gelu=self.gelu,
                     name=f"stage{stage_idx + 1}_block{block_idx + 1}",
                 )(x)
