@@ -46,10 +46,13 @@ _TAPS_PADDED = 56
 
 # H-chunk width of the MLP backward per channel width (VMEM sizing: w1/w2
 # chunks + f32 hidden temps + the resident dw1/dw2 accumulators).
-_BWD_HCHUNK = {128: 512, 256: 1024, 512: 512}
-# Rows per backward tile: th * W matches the round-2 tuned token tiles
-# (1024 / 512 / 256 tokens at C=128/256/512 for 512^2 inputs).
-_BWD_TILE_H = 8
+_BWD_HCHUNK = {128: 512, 256: 1024, 512: 256}
+# Rows per backward tile. At C=512 the resident dw1/dw2 f32 accumulators
+# already cost 8 MB of the 16 MB VMEM, so every tile-sized buffer must
+# shrink: th=4 AND hc=256 together are required for the compile to fit
+# (th=8/hc=512, th=8/hc=256, th=4/hc=512 all OOM the compile helper —
+# probed, scripts/probe_block_train_compile.py).
+_BWD_TILE_H = {128: 8, 256: 8, 512: 4}
 
 
 def _make_bwd_kernel(num_tiles: int, eps: float):
@@ -221,18 +224,18 @@ def _make_bwd_kernel(num_tiles: int, eps: float):
             # with g_u. dk[dy*7+dx, c] = sum_{y,x} xp[y+dy, x+dx, c] g_u[y,x, c].
             tile = tiles[g % 2]
             gu3 = g_u.reshape(th, w, c)
-            rows = []
-            for dy in range(KERNEL_SIZE):
-                shifted = tile[dy : dy + th, :, :].astype(jnp.float32)
-                for dxs in range(KERNEL_SIZE):
-                    prod = shifted[:, dxs : dxs + w, :] * gu3
+            # Sublane (W) shifts are the expensive relayouts — do ONE per
+            # dx (7 total, like the forward stencil) and take the free
+            # major-dim (H) slices inside.
+            rows = [None] * (KERNEL_SIZE * KERNEL_SIZE)
+            for dxs in range(KERNEL_SIZE):
+                tile_dx = tile[:, dxs : dxs + w, :].astype(jnp.float32)
+                for dy in range(KERNEL_SIZE):
+                    prod = tile_dx[dy : dy + th] * gu3
                     # Keep reductions 2-D for Mosaic: (th*w, c) -> (1, c).
-                    rows.append(
-                        jnp.sum(prod.reshape(th * w, c), axis=0, keepdims=True)
+                    rows[dy * KERNEL_SIZE + dxs] = jnp.sum(
+                        prod.reshape(th * w, c), axis=0, keepdims=True
                     )
-            # rows is indexed by dy*7+dx in (dy outer, dx inner) order —
-            # but the fwd stencil indexes k2[dy*7+dx] with dx outer in the
-            # loop; the INDEX arithmetic is what matters and matches.
             dwk_part = jnp.concatenate(
                 rows
                 + [
@@ -279,7 +282,7 @@ def _block_train_bwd_pallas(
     if hd % hc != 0:
         hc = hd
     num_h = hd // hc
-    th = min(_BWD_TILE_H, h)
+    th = min(_BWD_TILE_H.get(c, 4), h)
     num_tiles = (h + th - 1) // th
     padded_h = num_tiles * th
     padded_w = ((w + 2 * PAD + 7) // 8) * 8

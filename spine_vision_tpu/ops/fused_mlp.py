@@ -508,7 +508,11 @@ def _ln_mlp_tail_kernel(
     x_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref, b2_ref, gamma_ref, res_ref,
     out_ref,
 ):
-    yhat, _ = _ln_rows(x_ref[:].astype(jnp.float32))
+    # Rank-agnostic: blocks are (tm, c) in the flat path or (1, th, w, c)
+    # in the NHWC path (which avoids the XLA layout copy an [B,H,W,C] ->
+    # [M,C] reshape costs at the custom-call boundary on TPU).
+    c = x_ref.shape[-1]
+    yhat, _ = _ln_rows(x_ref[...].reshape(-1, c).astype(jnp.float32))
     y = yhat * ls_ref[0, :].astype(jnp.float32) + lb_ref[0, :].astype(jnp.float32)
     y_lp = y.astype(x_ref.dtype)
     h = jnp.dot(y_lp, w1_ref[:], preferred_element_type=jnp.float32)
@@ -516,8 +520,16 @@ def _ln_mlp_tail_kernel(
     out = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
     out = out + b2_ref[0, :].astype(jnp.float32)
     out = out * gamma_ref[0, :].astype(jnp.float32)
-    out = out + res_ref[:].astype(jnp.float32)
-    out_ref[:] = out.astype(out_ref.dtype)
+    out = out + res_ref[...].reshape(-1, c).astype(jnp.float32)
+    out_ref[...] = out.reshape(out_ref.shape).astype(out_ref.dtype)
+
+
+def _nhwc_tiles(x: Array, target_tokens: int) -> tuple[int, int]:
+    """(rows per tile, tile count) so th*W tokens approximate the tuned
+    2-D token tile for this channel width."""
+    _, hh, ww, _ = x.shape
+    th = max(1, min(hh, max(1, target_tokens // ww)))
+    return th, (hh + th - 1) // th
 
 
 def _ln_mlp_pallas(
@@ -533,24 +545,47 @@ def _ln_mlp_pallas(
     tile_m: int | None,
     interpret: bool,
 ) -> Array:
-    m, c = x.shape
+    c = x.shape[-1]
     h = w1.shape[1]
     if tile_m is None:
         tile_m = _BEST_TILE_M.get(c, 1024)
-    tm = min(tile_m, m)
-    num_tiles = (m + tm - 1) // tm
-    padded_m = num_tiles * tm
-    if padded_m != m:
-        x = jnp.pad(x, ((0, padded_m - m), (0, 0)))
-        residual = jnp.pad(residual, ((0, padded_m - m), (0, 0)))
 
-    tok = pl.BlockSpec((tm, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    orig_h = x.shape[1] if x.ndim == 4 else None
+    if x.ndim == 4:
+        # NHWC path: tile (batch, row-slab) blocks so no [B,H,W,C]->[M,C]
+        # reshape (an XLA layout copy on TPU) surrounds the custom call.
+        b, hh, ww, _ = x.shape
+        th, num_tiles = _nhwc_tiles(x, tile_m)
+        padded_h = num_tiles * th
+        if padded_h != hh:
+            pad = ((0, 0), (0, padded_h - hh), (0, 0), (0, 0))
+            x = jnp.pad(x, pad)
+            residual = jnp.pad(residual, pad)
+        tok = pl.BlockSpec(
+            (1, th, ww, c),
+            lambda i: (i // num_tiles, i % num_tiles, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        grid = (b * num_tiles,)
+        out_shape = jax.ShapeDtypeStruct((b, padded_h, ww, c), x.dtype)
+    else:
+        m = x.shape[0]
+        tm = min(tile_m, m)
+        num_tiles = (m + tm - 1) // tm
+        padded_m = num_tiles * tm
+        if padded_m != m:
+            x = jnp.pad(x, ((0, padded_m - m), (0, 0)))
+            residual = jnp.pad(residual, ((0, padded_m - m), (0, 0)))
+        tok = pl.BlockSpec((tm, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        grid = (num_tiles,)
+        out_shape = jax.ShapeDtypeStruct((padded_m, c), x.dtype)
+
     fix = lambda shape: pl.BlockSpec(  # noqa: E731
         shape, lambda i: (0, 0), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
         _ln_mlp_tail_kernel,
-        grid=(num_tiles,),
+        grid=grid,
         in_specs=[
             tok,
             fix((1, c)),
@@ -563,7 +598,7 @@ def _ln_mlp_pallas(
             tok,
         ],
         out_specs=tok,
-        out_shape=jax.ShapeDtypeStruct((padded_m, c), x.dtype),
+        out_shape=out_shape,
         interpret=interpret,
     )(
         x,
@@ -576,6 +611,8 @@ def _ln_mlp_pallas(
         gamma.reshape(1, c),
         residual,
     )
+    if out.ndim == 4:
+        return out[:, :orig_h]
     return out[:m]
 
 
@@ -598,12 +635,15 @@ def _ln_mlp_bwd_kernel(
     j = pl.program_id(1)
     hc = w1_ref.shape[1]
     num_h = pl.num_programs(1)
+    c = x_ref.shape[-1]
 
-    yhat, rstd = _ln_rows(x_ref[:].astype(jnp.float32))
+    # Rank-agnostic blocks: (tm, c) flat or (1, th, w, c) NHWC (the NHWC
+    # path avoids the XLA layout copy of a [B,H,W,C] -> [M,C] reshape).
+    yhat, rstd = _ln_rows(x_ref[...].reshape(-1, c).astype(jnp.float32))
     ls = ls_ref[0, :].astype(jnp.float32)
     y = yhat * ls + lb_ref[0, :].astype(jnp.float32)
     y_lp = y.astype(x_ref.dtype)
-    gf = g_ref[:].astype(jnp.float32)
+    gf = g_ref[...].reshape(-1, c).astype(jnp.float32)
 
     hpre = jnp.dot(y_lp, w1_ref[:], preferred_element_type=jnp.float32)
     hpre = hpre + b1_ref[0, :].astype(jnp.float32)
@@ -659,7 +699,7 @@ def _ln_mlp_bwd_kernel(
             - jnp.mean(dyhat, axis=-1, keepdims=True)
             - yhat * jnp.mean(dyhat * yhat, axis=-1, keepdims=True)
         )
-        dx_ref[:] = dx.astype(dx_ref.dtype)
+        dx_ref[...] = dx.reshape(dx_ref.shape).astype(dx_ref.dtype)
 
         @pl.when(i == 0)
         def _():
@@ -716,26 +756,52 @@ def _ln_mlp_bwd_pallas(
     g: Array,
     interpret: bool,
 ) -> tuple[Array, ...]:
-    m, c = x.shape
+    c = x.shape[-1]
     h = w1.shape[1]
-    tm = min(_BWD_TILE_M.get(c, 256), m)
     hc = _BWD_HCHUNK.get(c, 512)
     if h % hc != 0:
         hc = h
-    num_tiles = (m + tm - 1) // tm
-    padded_m = num_tiles * tm
-    if padded_m != m:
-        x = jnp.pad(x, ((0, padded_m - m), (0, 0)))
-        g = jnp.pad(g, ((0, padded_m - m), (0, 0)))
     num_h = h // hc
 
-    tok = pl.BlockSpec((tm, c), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    orig_h = x.shape[1] if x.ndim == 4 else None
+    if x.ndim == 4:
+        b, hh, ww, _ = x.shape
+        th, num_tiles = _nhwc_tiles(x, _BWD_TILE_M.get(c, 256))
+        padded_h = num_tiles * th
+        if padded_h != hh:
+            # Zero-padding g zeroes every padded row's grad contribution.
+            pad = ((0, 0), (0, padded_h - hh), (0, 0), (0, 0))
+            x = jnp.pad(x, pad)
+            g = jnp.pad(g, pad)
+        tm = th * ww
+        tok = pl.BlockSpec(
+            (1, th, ww, c),
+            lambda i, j: (i // num_tiles, i % num_tiles, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        grid = (b * num_tiles, num_h)
+        dx_shape = jax.ShapeDtypeStruct((b, padded_h, ww, c), x.dtype)
+    else:
+        m = x.shape[0]
+        tm = min(_BWD_TILE_M.get(c, 256), m)
+        num_tiles = (m + tm - 1) // tm
+        padded_m = num_tiles * tm
+        if padded_m != m:
+            # Zero-padding g zeroes every padded row's grad contribution.
+            x = jnp.pad(x, ((0, padded_m - m), (0, 0)))
+            g = jnp.pad(g, ((0, padded_m - m), (0, 0)))
+        tok = pl.BlockSpec(
+            (tm, c), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        )
+        grid = (num_tiles, num_h)
+        dx_shape = jax.ShapeDtypeStruct((padded_m, c), x.dtype)
+
     fix = lambda shape: pl.BlockSpec(  # noqa: E731
         shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM
     )
     outs = pl.pallas_call(
         _ln_mlp_bwd_kernel,
-        grid=(num_tiles, num_h),
+        grid=grid,
         in_specs=[
             tok,
             tok,
@@ -758,7 +824,7 @@ def _ln_mlp_bwd_pallas(
             fix((1, c)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((padded_m, c), x.dtype),
+            dx_shape,
             jax.ShapeDtypeStruct((1, c), jnp.float32),
             jax.ShapeDtypeStruct((1, c), jnp.float32),
             jax.ShapeDtypeStruct((c, h), jnp.float32),
@@ -781,7 +847,8 @@ def _ln_mlp_bwd_pallas(
         gamma.reshape(1, c),
     )
     dx, dls, dlb, dw1, db1, dw2, db2, dgamma = outs
-    return dx[:m], dls, dlb, dw1, db1, dw2, db2, dgamma
+    dx = dx[:, :orig_h] if dx.ndim == 4 else dx[:m]
+    return dx, dls, dlb, dw1, db1, dw2, db2, dgamma
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))

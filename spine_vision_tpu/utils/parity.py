@@ -268,9 +268,10 @@ def run_parity(
     record["cls_pfirrmann_accuracy"] = float(
         cls_metrics.get("pfirrmann_accuracy", float("nan"))
     )
-    record["cls_f1_threshold"] = 0.8
+    # Round-3 tightening: round 2 achieved 0.916 — hold the bar at 0.85.
+    record["cls_f1_threshold"] = 0.85
     record["cls_pass"] = record["cls_f1"] > record["cls_f1_threshold"]
-    logger.info("parity cls: F1 %.4f (threshold 0.8)", record["cls_f1"])
+    logger.info("parity cls: F1 %.4f (threshold 0.85)", record["cls_f1"])
 
     # ---------------------------------------------------------- fused infer
     pipeline_config = StudyPipelineConfig(
@@ -334,7 +335,9 @@ def run_parity(
     record["e2e_grade_accuracy"] = grade_hits / total
     record["e2e_herniation_accuracy"] = hern_hits / total
     record["e2e_loc_med_threshold"] = 0.06
-    record["e2e_grade_accuracy_threshold"] = 0.7
+    # Round-3 tightening: the suite achieved 0.80 in round 2 — hold the
+    # bar at 0.75 so regressions fail instead of coasting under 0.7.
+    record["e2e_grade_accuracy_threshold"] = 0.75
     record["e2e_pass"] = (
         record["e2e_loc_med"] < record["e2e_loc_med_threshold"]
         and record["e2e_grade_accuracy"] > record["e2e_grade_accuracy_threshold"]
@@ -346,8 +349,55 @@ def run_parity(
         record["e2e_herniation_accuracy"],
     )
 
+    # -------------------------------------------- rotated-crop-mode e2e
+    # Round-2 gap: the rotated path's QUALITY (3-shear gather-free
+    # rotation, ops/crop.py) never ran through a trained end-to-end pass —
+    # only its geometry goldens. Same studies, same trained weights,
+    # rotated crop mode; grades must hold up.
+    rotated_pipeline = StudyInferencePipeline(
+        loc_trainer.model,
+        _vars(loc_trainer.state),
+        cls_trainer.model,
+        _vars(cls_trainer.state),
+        config=StudyPipelineConfig(
+            loc_image_size=LOC_SIZE,
+            crop_size=CROP_SIZE,
+            crop_delta_mm=CROP_DELTA_MM,
+            padded_hw=SLICE_HW,
+            crop_mode="rotated",
+        ),
+        tasks=tasks,
+    )
+    rot_results = rotated_pipeline.run(studies)
+    rot_med = []
+    rot_grade_hits = 0
+    rot_total = 0
+    for res, coords, grades in zip(rot_results, gt_coords, gt_grades):
+        rot_med.extend(
+            np.linalg.norm(res.coords[1] - coords, axis=-1).tolist()
+        )
+        pf_pred = np.argmax(res.logits["pfirrmann"], axis=-1) + 1
+        rot_grade_hits += int((pf_pred == grades).sum())
+        rot_total += len(grades)
+    record["e2e_rotated_loc_med"] = float(np.mean(rot_med))
+    record["e2e_rotated_grade_accuracy"] = rot_grade_hits / rot_total
+    record["e2e_rotated_grade_accuracy_threshold"] = 0.75
+    record["e2e_rotated_pass"] = (
+        record["e2e_rotated_loc_med"] < record["e2e_loc_med_threshold"]
+        and record["e2e_rotated_grade_accuracy"]
+        > record["e2e_rotated_grade_accuracy_threshold"]
+    )
+    logger.info(
+        "parity e2e rotated: MED %.4f grade-acc %.3f",
+        record["e2e_rotated_loc_med"],
+        record["e2e_rotated_grade_accuracy"],
+    )
+
     record["all_pass"] = bool(
-        record["loc_pass"] and record["cls_pass"] and record["e2e_pass"]
+        record["loc_pass"]
+        and record["cls_pass"]
+        and record["e2e_pass"]
+        and record["e2e_rotated_pass"]
     )
     with open(output_dir / "parity_results.json", "w") as f:
         json.dump(record, f, indent=2)

@@ -290,3 +290,52 @@ def test_ln_mlp_gradients_match_reference(c, m, tile):
             np.asarray(ga) / scale, np.asarray(wa) / scale, atol=5e-3,
             err_msg=f"grad mismatch for arg {i}",
         )
+
+
+def test_fused_ln_mlp_nhwc_matches_flat():
+    """The NHWC path (4-D blocks, no boundary reshape) must match the flat
+    [M, C] path exactly — forward and all gradients — including when H does
+    not divide the row tile (padded rows)."""
+    import jax
+
+    from spine_vision_tpu.ops.fused_mlp import fused_ln_mlp
+
+    rng = np.random.default_rng(7)
+    b, h, w, c = 2, 5, 8, 128
+    x4 = jnp.asarray(rng.normal(size=(b, h, w, c)) * 0.5, jnp.float32)
+    r4 = jnp.asarray(rng.normal(size=(b, h, w, c)) * 0.5, jnp.float32)
+    ls = jnp.asarray(rng.normal(size=(c,)) + 1.0, jnp.float32)
+    lb = jnp.asarray(rng.normal(size=(c,)) * 0.1, jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(c, 4 * c)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(4 * c,)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(4 * c, c)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(c,)) * 0.1, jnp.float32)
+    gamma = jnp.asarray(rng.normal(size=(c,)) * 1e-2, jnp.float32)
+
+    def run4(x4_, r4_, *params):
+        return fused_ln_mlp(x4_, *params[:7], r4_, interpret=True)
+
+    def run2(x4_, r4_, *params):
+        out = fused_ln_mlp(
+            x4_.reshape(-1, c), *params[:7], r4_.reshape(-1, c), interpret=True
+        )
+        return out.reshape(b, h, w, c)
+
+    params = (ls, lb, w1, b1, w2, b2, gamma)
+    out4 = run4(x4, r4, *params)
+    out2 = run2(x4, r4, *params)
+    assert out4.shape == (b, h, w, c)
+    np.testing.assert_allclose(np.asarray(out4), np.asarray(out2), atol=1e-5)
+
+    def loss4(*a):
+        return jnp.sum(run4(*a).astype(jnp.float32) ** 2)
+
+    def loss2(*a):
+        return jnp.sum(run2(*a).astype(jnp.float32) ** 2)
+
+    g4 = jax.grad(loss4, argnums=tuple(range(9)))(x4, r4, *params)
+    g2 = jax.grad(loss2, argnums=tuple(range(9)))(x4, r4, *params)
+    for i, (a, bb) in enumerate(zip(g4, g2)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), atol=2e-4, err_msg=f"arg {i}"
+        )
