@@ -296,16 +296,16 @@ def render_report_page(
 
 DEGRADE_PROFILES = {
     "mild": {
-        "rotate_deg": 1.5,
-        "shear": 0.04,
-        "perspective": 0.008,
-        "jpeg_q": (55, 90),
-        "salt_pepper": 0.002,
-        "vignette": 0.15,
-        "lines": 1,
-        "p_geom": 0.5,
-        "p_jpeg": 0.4,
-        "p_lines": 0.25,
+        "rotate_deg": 2.2,
+        "shear": 0.06,
+        "perspective": 0.012,
+        "jpeg_q": (40, 90),
+        "salt_pepper": 0.004,
+        "vignette": 0.2,
+        "lines": 2,
+        "p_geom": 0.7,
+        "p_jpeg": 0.6,
+        "p_lines": 0.4,
     },
     "hard": {
         "rotate_deg": 3.0,
