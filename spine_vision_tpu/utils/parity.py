@@ -91,7 +91,30 @@ def _window_crop(
     jy, jx = rng.integers(-8, 9, size=2)
     half = CROP_SIZE[0] // 2
     y0, x0 = cy + int(jy) - half, cx + int(jx) - half
-    region = img[y0 : y0 + CROP_SIZE[0], x0 : x0 + CROP_SIZE[1]].astype(np.float64)
+    if rng.random() < 0.5:
+        # Half the crops mimic the ROTATED pipeline mode: take a larger
+        # window, rotate by a small disc-axis-like angle (bilinear resample
+        # — the interpolation smoothing is the distribution shift that
+        # cost rotated-mode e2e accuracy when training was horizontal-only),
+        # then center-crop. Keeps one classifier competent in both modes.
+        from PIL import Image
+
+        margin = CROP_SIZE[0] // 2
+        big = img[
+            max(y0 - margin, 0) : y0 + CROP_SIZE[0] + margin,
+            max(x0 - margin, 0) : x0 + CROP_SIZE[1] + margin,
+        ]
+        angle = float(rng.uniform(-8.0, 8.0))
+        rot = np.asarray(
+            Image.fromarray(big).rotate(angle, Image.BILINEAR), np.float64
+        )
+        ry = (rot.shape[0] - CROP_SIZE[0]) // 2
+        rx = (rot.shape[1] - CROP_SIZE[1]) // 2
+        region = rot[ry : ry + CROP_SIZE[0], rx : rx + CROP_SIZE[1]]
+    else:
+        region = img[
+            y0 : y0 + CROP_SIZE[0], x0 : x0 + CROP_SIZE[1]
+        ].astype(np.float64)
     lo, hi = region.min(), region.max()
     region = (region - lo) / max(hi - lo, 1e-6) * 255.0
     return region.astype(np.uint8)

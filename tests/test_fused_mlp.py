@@ -339,3 +339,46 @@ def test_fused_ln_mlp_nhwc_matches_flat():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(bb), atol=2e-4, err_msg=f"arg {i}"
         )
+
+
+def test_fused_ln_mlp_nhwc_multi_hchunk(monkeypatch):
+    """Force num_h > 1 so the NHWC backward exercises the chunked g_y
+    accumulation + last-chunk LN backward (the production C=512 shape runs
+    this path; CPU-interpret it at C=128 by shrinking the H chunk)."""
+    import jax
+
+    from spine_vision_tpu.ops import fused_mlp
+
+    monkeypatch.setitem(fused_mlp._BWD_HCHUNK, 128, 256)  # hd=512 -> 2 chunks
+    rng = np.random.default_rng(11)
+    b, h, w, c = 1, 4, 8, 128
+    x4 = jnp.asarray(rng.normal(size=(b, h, w, c)) * 0.5, jnp.float32)
+    r4 = jnp.asarray(rng.normal(size=(b, h, w, c)) * 0.5, jnp.float32)
+    ls = jnp.asarray(rng.normal(size=(c,)) + 1.0, jnp.float32)
+    lb = jnp.asarray(rng.normal(size=(c,)) * 0.1, jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(c, 4 * c)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(4 * c,)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(4 * c, c)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(c,)) * 0.1, jnp.float32)
+    gamma = jnp.asarray(rng.normal(size=(c,)) * 1e-2, jnp.float32)
+
+    def loss_pallas(*a):
+        out = fused_mlp.fused_ln_mlp(*a, interpret=True)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    def loss_ref(*a):
+        out = fused_mlp.ln_mlp_reference(*a)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    args = (x4, ls, lb, w1, b1, w2, b2, gamma, r4)
+    # reference path works on flattened tokens
+    ref_args = (x4.reshape(-1, c), ls, lb, w1, b1, w2, b2, gamma, r4.reshape(-1, c))
+    gp = jax.grad(loss_pallas, argnums=tuple(range(9)))(*args)
+    gr = jax.grad(loss_ref, argnums=tuple(range(9)))(*ref_args)
+    for i, (a, bb) in enumerate(zip(gp, gr)):
+        np.testing.assert_allclose(
+            np.asarray(a).reshape(np.asarray(bb).shape),
+            np.asarray(bb),
+            atol=3e-4,
+            err_msg=f"arg {i}",
+        )
