@@ -744,6 +744,246 @@ def _ln_mlp_bwd_kernel(
         dgamma_ref[:] += dgamma_part
 
 
+def _make_ln_mlp_bwd_kernel_resident(num_h: int):
+    """Backward kernel variant with BOTH weight matrices VMEM-RESIDENT and
+    the H dimension chunked by an internal fori_loop.
+
+    Why: with the (tile, chunk) grid, the w1/w2 chunk blocks' index map
+    changes every step, so Mosaic re-fetches ~full-weight bytes per TOKEN
+    TILE — at C=512 that is 128 tiles x 4 MB = 512 MB of weight streaming
+    per block backward, roughly half the kernel's critical path (the
+    measured 2.2 ms vs a 1.8 ms matmul SOL). Keeping the full (c, hd)/(hd,
+    c) bf16 weights as fixed-index input blocks costs 4 MB VMEM once and
+    drops the streaming to one fetch per kernel; the hidden chunks slide
+    over the resident blocks with pl.ds. Used when the weights fit
+    (C == MAX_FUSED_DIM today; smaller widths already have num_h == 1 and
+    are naturally resident).
+    """
+
+    def kernel(
+        x_ref, g_ref, ls_ref, lb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+        gamma_ref,
+        dx_ref, dls_ref, dlb_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+        dgamma_ref,
+    ):
+        i = pl.program_id(0)
+        c = x_ref.shape[-1]
+        hd = w1_ref.shape[1]
+        hc = hd // num_h
+        first = i == 0
+
+        yhat, rstd = _ln_rows(x_ref[...].reshape(-1, c).astype(jnp.float32))
+        ls = ls_ref[0, :].astype(jnp.float32)
+        y = yhat * ls + lb_ref[0, :].astype(jnp.float32)
+        y_lp = y.astype(x_ref.dtype)
+        gf = g_ref[...].reshape(-1, c).astype(jnp.float32)
+        tm = y_lp.shape[0]
+
+        gamma_f = gamma_ref[0, :].astype(jnp.float32)
+        g_mlp = (gf * gamma_f).astype(x_ref.dtype)
+        g_lp = gf.astype(x_ref.dtype)
+
+        def chunk_body(j, carry):
+            g_y_acc, dgamma_acc = carry
+            w1c = w1_ref[:, pl.ds(j * hc, hc)]
+            b1c = b1_ref[0, pl.ds(j * hc, hc)].astype(jnp.float32)
+            w2c = w2_ref[pl.ds(j * hc, hc), :]
+
+            hpre = jnp.dot(y_lp, w1c, preferred_element_type=jnp.float32)
+            hpre = hpre + b1c
+            h, dgelu = _gelu_and_grad(hpre)
+            h_lp = h.astype(x_ref.dtype)
+
+            g_h = jax.lax.dot_general(
+                g_mlp, w2c, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            g_hpre_f = g_h * dgelu
+            g_hpre = g_hpre_f.astype(x_ref.dtype)
+
+            g_y_acc = g_y_acc + jax.lax.dot_general(
+                g_hpre, w1c, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dw1_part = jax.lax.dot_general(
+                y_lp, g_hpre, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            a_part = jax.lax.dot_general(
+                h_lp, g_lp, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dw2_part = a_part * gamma_f[None, :]
+            dgamma_acc = dgamma_acc + jnp.sum(
+                w2c.astype(jnp.float32) * a_part, axis=0, keepdims=True
+            )
+            db1_part = jnp.sum(g_hpre_f, axis=0, keepdims=True)
+
+            @pl.when(first)
+            def _():
+                dw1_ref[:, pl.ds(j * hc, hc)] = dw1_part
+                db1_ref[:, pl.ds(j * hc, hc)] = db1_part
+                dw2_ref[pl.ds(j * hc, hc), :] = dw2_part
+
+            @pl.when(jnp.logical_not(first))
+            def _():
+                dw1_ref[:, pl.ds(j * hc, hc)] += dw1_part
+                db1_ref[:, pl.ds(j * hc, hc)] += db1_part
+                dw2_ref[pl.ds(j * hc, hc), :] += dw2_part
+
+            return g_y_acc, dgamma_acc
+
+        g_y, dgamma_part = jax.lax.fori_loop(
+            0,
+            num_h,
+            chunk_body,
+            (
+                jnp.zeros((tm, c), jnp.float32),
+                jnp.zeros((1, c), jnp.float32),
+            ),
+        )
+
+        dls_part = jnp.sum(g_y * yhat, axis=0, keepdims=True)
+        dlb_part = jnp.sum(g_y, axis=0, keepdims=True)
+        dyhat = g_y * ls
+        dx = rstd * (
+            dyhat
+            - jnp.mean(dyhat, axis=-1, keepdims=True)
+            - yhat * jnp.mean(dyhat * yhat, axis=-1, keepdims=True)
+        )
+        dx_ref[...] = dx.reshape(dx_ref.shape).astype(dx_ref.dtype)
+
+        db2_part = jnp.sum(gf * gamma_f, axis=0, keepdims=True)
+        dgamma_b2 = jnp.sum(gf, axis=0, keepdims=True) * b2_ref[0, :].astype(
+            jnp.float32
+        )
+
+        @pl.when(first)
+        def _():
+            dls_ref[:] = dls_part
+            dlb_ref[:] = dlb_part
+            db2_ref[:] = db2_part
+            dgamma_ref[:] = dgamma_part + dgamma_b2
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            dls_ref[:] += dls_part
+            dlb_ref[:] += dlb_part
+            db2_ref[:] += db2_part
+            dgamma_ref[:] += dgamma_part + dgamma_b2
+
+    return kernel
+
+
+def _ln_mlp_bwd_pallas_resident(
+    x: Array,
+    ln_scale: Array,
+    ln_bias: Array,
+    w1: Array,
+    b1: Array,
+    w2: Array,
+    b2: Array,
+    gamma: Array,
+    g: Array,
+    interpret: bool,
+) -> tuple[Array, ...]:
+    """Resident-weights backward dispatch (see kernel docstring)."""
+    c = x.shape[-1]
+    h = w1.shape[1]
+    hc = _BWD_HCHUNK.get(c, 512)
+    if h % hc != 0:
+        hc = h
+    num_h = h // hc
+    m = x.shape[0]
+
+    orig_h = x.shape[1] if x.ndim == 4 else None
+    if x.ndim == 4:
+        b, hh, ww, _ = x.shape
+        th, num_tiles = _nhwc_tiles(x, _BWD_TILE_M.get(c, 256))
+        padded_h = num_tiles * th
+        if padded_h != hh:
+            pad = ((0, 0), (0, padded_h - hh), (0, 0), (0, 0))
+            x = jnp.pad(x, pad)
+            g = jnp.pad(g, pad)
+        tok = pl.BlockSpec(
+            (1, th, ww, c),
+            lambda i: (i // num_tiles, i % num_tiles, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        grid = (b * num_tiles,)
+        dx_shape = jax.ShapeDtypeStruct((b, padded_h, ww, c), x.dtype)
+    else:
+        m = x.shape[0]
+        tm = min(_BWD_TILE_M.get(c, 256), m)
+        num_tiles = (m + tm - 1) // tm
+        padded_m = num_tiles * tm
+        if padded_m != m:
+            x = jnp.pad(x, ((0, padded_m - m), (0, 0)))
+            g = jnp.pad(g, ((0, padded_m - m), (0, 0)))
+        tok = pl.BlockSpec((tm, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        grid = (num_tiles,)
+        dx_shape = jax.ShapeDtypeStruct((padded_m, c), x.dtype)
+
+    fix = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    outs = pl.pallas_call(
+        _make_ln_mlp_bwd_kernel_resident(num_h),
+        grid=grid,
+        in_specs=[
+            tok,
+            tok,
+            fix((1, c)),
+            fix((1, c)),
+            fix((c, h)),
+            fix((1, h)),
+            fix((h, c)),
+            fix((1, c)),
+            fix((1, c)),
+        ],
+        out_specs=[
+            tok,
+            fix((1, c)),
+            fix((1, c)),
+            fix((c, h)),
+            fix((1, h)),
+            fix((h, c)),
+            fix((1, c)),
+            fix((1, c)),
+        ],
+        out_shape=[
+            dx_shape,
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((c, h), jnp.float32),
+            jax.ShapeDtypeStruct((1, h), jnp.float32),
+            jax.ShapeDtypeStruct((h, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        x,
+        g,
+        ln_scale.reshape(1, c),
+        ln_bias.reshape(1, c),
+        w1,
+        b1.reshape(1, h),
+        w2,
+        b2.reshape(1, c),
+        gamma.reshape(1, c),
+    )
+    dx, dls, dlb, dw1, db1, dw2, db2, dgamma = outs
+    dx = dx[:, :orig_h] if dx.ndim == 4 else dx[:m]
+    return dx, dls, dlb, dw1, db1, dw2, db2, dgamma
+
+
+# Use the resident-weights backward at widths where the full weight pair
+# fits VMEM but needs H chunking (today: exactly MAX_FUSED_DIM). Smaller
+# widths have num_h == 1 with naturally-cached weight blocks.
+_RESIDENT_BWD_DIMS = {512}
+
+
 def _ln_mlp_bwd_pallas(
     x: Array,
     ln_scale: Array,
@@ -756,6 +996,10 @@ def _ln_mlp_bwd_pallas(
     g: Array,
     interpret: bool,
 ) -> tuple[Array, ...]:
+    if x.shape[-1] in _RESIDENT_BWD_DIMS:
+        return _ln_mlp_bwd_pallas_resident(
+            x, ln_scale, ln_bias, w1, b1, w2, b2, gamma, g, interpret
+        )
     c = x.shape[-1]
     h = w1.shape[1]
     hc = _BWD_HCHUNK.get(c, 512)

@@ -382,3 +382,46 @@ def test_fused_ln_mlp_nhwc_multi_hchunk(monkeypatch):
             atol=3e-4,
             err_msg=f"arg {i}",
         )
+
+
+def test_fused_ln_mlp_resident_bwd_c512():
+    """C=512 dispatches to the resident-weights backward (internal
+    fori_loop over H chunks, weights fetched once per kernel): gradients
+    must match the XLA reference composition."""
+    import jax
+
+    from spine_vision_tpu.ops import fused_mlp
+
+    rng = np.random.default_rng(13)
+    m, c = 48, 512
+    x = jnp.asarray(rng.normal(size=(m, c)) * 0.5, jnp.float32)
+    r = jnp.asarray(rng.normal(size=(m, c)) * 0.5, jnp.float32)
+    ls = jnp.asarray(rng.normal(size=(c,)) + 1.0, jnp.float32)
+    lb = jnp.asarray(rng.normal(size=(c,)) * 0.1, jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(c, 4 * c)) * 0.02, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(4 * c,)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(4 * c, c)) * 0.02, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(c,)) * 0.1, jnp.float32)
+    gamma = jnp.asarray(rng.normal(size=(c,)) * 1e-2, jnp.float32)
+    args = (x, ls, lb, w1, b1, w2, b2, gamma, r)
+
+    assert c in fused_mlp._RESIDENT_BWD_DIMS
+
+    def loss_pallas(*a):
+        return jnp.sum(
+            fused_mlp.fused_ln_mlp(*a, interpret=True).astype(jnp.float32) ** 2
+        )
+
+    def loss_ref(*a):
+        return jnp.sum(
+            fused_mlp.ln_mlp_reference(*a).astype(jnp.float32) ** 2
+        )
+
+    gp = jax.grad(loss_pallas, argnums=tuple(range(9)))(*args)
+    gr = jax.grad(loss_ref, argnums=tuple(range(9)))(*args)
+    for i, (a, b) in enumerate(zip(gp, gr)):
+        scale = max(1.0, float(jnp.max(jnp.abs(b))))
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=2e-4,
+            err_msg=f"arg {i}",
+        )
