@@ -890,7 +890,7 @@ def _ln_mlp_bwd_pallas_resident(
     """Resident-weights backward dispatch (see kernel docstring)."""
     c = x.shape[-1]
     h = w1.shape[1]
-    hc = _BWD_HCHUNK.get(c, 512)
+    hc = _RESIDENT_HCHUNK.get(c, 512)
     if h % hc != 0:
         hc = h
     num_h = h // hc
@@ -982,6 +982,10 @@ def _ln_mlp_bwd_pallas_resident(
 # fits VMEM but needs H chunking (today: exactly MAX_FUSED_DIM). Smaller
 # widths have num_h == 1 with naturally-cached weight blocks.
 _RESIDENT_BWD_DIMS = {512}
+# H chunk for the resident kernel only (hidden-temp sizing knob; the
+# weights are whole blocks regardless). hc=1024 measured best in the full
+# train step: 200.6 vs 198.7 img/s at hc=512; tm=512 OOMs the compile.
+_RESIDENT_HCHUNK = {512: 1024}
 
 
 def _ln_mlp_bwd_pallas(

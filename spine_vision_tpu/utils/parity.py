@@ -92,11 +92,13 @@ def _window_crop(
     half = CROP_SIZE[0] // 2
     y0, x0 = cy + int(jy) - half, cx + int(jx) - half
     if rng.random() < 0.5:
-        # Half the crops mimic the ROTATED pipeline mode: take a larger
-        # window, rotate by a small disc-axis-like angle (bilinear resample
-        # — the interpolation smoothing is the distribution shift that
-        # cost rotated-mode e2e accuracy when training was horizontal-only),
-        # then center-crop. Keeps one classifier competent in both modes.
+        # Half the crops mimic the ROTATED pipeline mode's RESAMPLING: the
+        # rotated crop keeps the disc horizontal (the angle tracks the
+        # disc axis) but the pixels go through bilinear interpolation. A
+        # rotate-then-unrotate pair reproduces exactly that smoothing with
+        # no net orientation change — training with net-rotated crops
+        # (round-3 first attempt) shifted the distribution the wrong way
+        # and cost horizontal accuracy instead.
         from PIL import Image
 
         margin = CROP_SIZE[0] // 2
@@ -104,10 +106,10 @@ def _window_crop(
             max(y0 - margin, 0) : y0 + CROP_SIZE[0] + margin,
             max(x0 - margin, 0) : x0 + CROP_SIZE[1] + margin,
         ]
-        angle = float(rng.uniform(-8.0, 8.0))
-        rot = np.asarray(
-            Image.fromarray(big).rotate(angle, Image.BILINEAR), np.float64
-        )
+        angle = float(rng.uniform(2.0, 8.0)) * (1 if rng.random() < 0.5 else -1)
+        pil = Image.fromarray(big)
+        rot = pil.rotate(angle, Image.BILINEAR).rotate(-angle, Image.BILINEAR)
+        rot = np.asarray(rot, np.float64)
         ry = (rot.shape[0] - CROP_SIZE[0]) // 2
         rx = (rot.shape[1] - CROP_SIZE[1]) // 2
         region = rot[ry : ry + CROP_SIZE[0], rx : rx + CROP_SIZE[1]]
@@ -203,7 +205,7 @@ def run_parity(
     cls_epochs: int = 16,
     n_loc_images: int = 96,
     n_cls_patients: int = 120,
-    n_heldout_studies: int = 8,
+    n_heldout_studies: int = 16,
 ) -> dict[str, Any]:
     """Run the full parity suite; returns (and writes) the metric record."""
     import jax
