@@ -107,13 +107,15 @@ def _study_latencies(loc, loc_vars, cls, cls_vars, crop_mode: str) -> np.ndarray
 
 def _train_step_throughput() -> float:
     """Raw chained fwd+bwd img/s for the flagship localization train config
-    (ConvNeXt-base @ 512^2, b32, use_pallas='mlp' custom-VJP kernels)."""
+    (ConvNeXt-base @ 512^2, b32, use_pallas='hybrid' custom-VJP kernels:
+    megakernel forward emitting the conv intermediate + composed backward
+    — the TPU training default)."""
     from spine_vision_tpu.models import CoordinateRegressor
 
     model = CoordinateRegressor(
         backbone_name="convnext_base",
         dtype=jnp.bfloat16,
-        use_pallas="mlp" if jax.default_backend() == "tpu" else False,
+        use_pallas="hybrid" if jax.default_backend() == "tpu" else False,
     )
     variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
         jax.random.PRNGKey(0), jnp.zeros((1, IMAGE_SIZE, IMAGE_SIZE, 3), jnp.bfloat16)

@@ -78,6 +78,7 @@ if __name__ == "__main__":
         "mlp": "mlp",
         "mega": True,
         "block": "block",
+        "hybrid": "hybrid",
     }
     modes = ["fwd", "fwdbwd"] if which == "all" else [which.split(":")[0]]
     sel = (

@@ -117,7 +117,10 @@ class BackboneFactory:
                 forward on v5e — see AGENTS.md); "mlp" = just the LN-fused
                 MLP (the round-2 training default); "block" = the whole-
                 block TRAINING kernel (ops.block_train: megakernel forward
-                + single fused backward with depthwise grads folded in).
+                + single fused backward with depthwise grads folded in;
+                measured slower — kept for reference); "hybrid" = megakernel
+                forward emitting the conv intermediate + the composed
+                backward (resident LN-MLP kernel + XLA conv grads).
                 All modes carry custom VJPs, so every setting is trainable.
 
         Returns:
@@ -139,8 +142,9 @@ class BackboneFactory:
                 config=cn_config,
                 dtype=dtype,
                 use_pallas_dwconv=use_pallas is True,
-                use_pallas_mlp=use_pallas in (True, "mlp"),
+                use_pallas_mlp=use_pallas in (True, "mlp", "hybrid"),
                 use_pallas_block=use_pallas == "block",
+                use_pallas_hybrid=use_pallas == "hybrid",
             )
             dim = cn_config.num_features
         elif family == "vit":

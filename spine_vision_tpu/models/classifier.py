@@ -44,7 +44,7 @@ class Classifier(nn.Module):
     dropout: float = 0.3
     dtype: Any = jnp.bfloat16
     axis_name: str | None = None
-    use_pallas: bool | str = False  # fused ConvNeXt kernels: True=all | "mlp"
+    use_pallas: bool | str = False  # ConvNeXt kernels: True | "mlp" | "hybrid"
 
     def setup(self) -> None:
         tasks = self.tasks or tuple(get_tasks())
@@ -160,7 +160,7 @@ class CoordinateRegressor(nn.Module):
     head_config: HeadConfig | None = None
     dtype: Any = jnp.bfloat16
     axis_name: str | None = None
-    use_pallas: bool | str = False  # fused ConvNeXt kernels: True=all | "mlp"
+    use_pallas: bool | str = False  # ConvNeXt kernels: True | "mlp" | "hybrid"
 
     def setup(self) -> None:
         self.backbone, self.feature_dim = BackboneFactory.create(

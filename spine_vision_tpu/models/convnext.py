@@ -133,6 +133,10 @@ class ConvNeXtBlock(nn.Module):
     # Whole-block TRAINING kernel (ops.block_train): megakernel forward +
     # single fused backward (MLP/LN/depthwise grads) + one XLA conv for dx.
     use_pallas_block: bool = False
+    # Hybrid TRAINING kernel (ops.block_train.convnext_block_hybrid):
+    # megakernel forward emitting the conv intermediate + the composed
+    # backward (resident LN-MLP kernel + XLA grouped-conv gradients).
+    use_pallas_hybrid: bool = False
     # "tanh" (framework default; matches the Pallas kernels, deviation from
     # erf < bf16 rounding) or "erf" (exact torch nn.GELU — for f32-level
     # parity checks against reference/timm checkpoints; XLA path only, so
@@ -157,15 +161,26 @@ class ConvNeXtBlock(nn.Module):
         use_pallas_block = (
             self.use_pallas_block and self.gelu != "erf" and lane_ok
         )
+        use_pallas_hybrid = (
+            self.use_pallas_hybrid and self.gelu != "erf" and lane_ok
+        )
         if (
-            use_pallas_block
+            (use_pallas_block or use_pallas_hybrid)
             and not self.use_grn
             and self.dim <= MAX_FUSED_DIM
             and self.layer_scale_init > 0
         ):
             import jax
 
-            from spine_vision_tpu.ops.block_train import convnext_block_train
+            from spine_vision_tpu.ops.block_train import (
+                convnext_block_hybrid,
+                convnext_block_train,
+            )
+
+            block_fn = (
+                convnext_block_hybrid if use_pallas_hybrid
+                else convnext_block_train
+            )
 
             kernel, bias = _DwConvParams(self.dim, name="dwconv")()
             scale, beta = _LayerNormParams(self.dim, name="norm")()
@@ -176,7 +191,7 @@ class ConvNeXtBlock(nn.Module):
                 nn.initializers.constant(self.layer_scale_init),
                 (self.dim,),
             )
-            return convnext_block_train(
+            return block_fn(
                 x.astype(self.dtype),
                 kernel.reshape(7, 7, self.dim).astype(self.dtype),
                 bias,
@@ -370,6 +385,7 @@ class ConvNeXt(nn.Module):
     use_pallas_dwconv: bool = False
     use_pallas_mlp: bool = False
     use_pallas_block: bool = False
+    use_pallas_hybrid: bool = False
     gelu: str = "tanh"  # "erf" = exact torch-GELU parity (XLA path only)
 
     @nn.compact
@@ -404,6 +420,7 @@ class ConvNeXt(nn.Module):
                     use_pallas_dwconv=self.use_pallas_dwconv,
                     use_pallas_mlp=self.use_pallas_mlp,
                     use_pallas_block=self.use_pallas_block,
+                    use_pallas_hybrid=self.use_pallas_hybrid,
                     gelu=self.gelu,
                     name=f"stage{stage_idx + 1}_block{block_idx + 1}",
                 )(x)

@@ -486,3 +486,123 @@ def convnext_block_train(
         x, dw_kernel, dw_bias, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
         tile_h, eps, interpret,
     )
+
+
+# --------------------------------------------------------------------------
+# Hybrid: megakernel FORWARD (emitting the conv intermediate), the winning
+# COMPOSED backward (resident LN-MLP backward kernel + XLA conv gradients).
+#
+# The all-Pallas backward above LOSES to the composed path (AGENTS.md
+# round-3 negative result: resident f32 dw accumulators force th=4/hc=256
+# tiles at C=512 and MXU efficiency collapses; C=128/256 are streaming-bound
+# with no MXU shadow for the 49-tap VPU work). This variant changes ONLY the
+# forward: one kernel reads x once (the DMA'd conv halo doubles as the
+# residual), hides the dwconv's VPU stencil under the MLP matmuls, and
+# writes y plus t = dwconv(x)+bias. Versus the composed forward (XLA conv:
+# read x, write t; LN-MLP kernel: read t, read x, write y) it deletes two
+# full activation streams per block. The backward is byte-for-byte the
+# composed path: the LN/hidden recompute reads the SAME bf16-rounded t the
+# forward's LayerNorm consumed, and dx/dk ride XLA's grouped-conv gradients.
+# --------------------------------------------------------------------------
+
+
+def _conv_ref(x: Array, kernel: Array) -> Array:
+    """The depthwise conv whose XLA gradients the hybrid backward reuses
+    (identical to the nn.Conv the composed path differentiates)."""
+    c = x.shape[-1]
+    return jax.lax.conv_general_dilated(
+        x,
+        kernel.reshape(KERNEL_SIZE, KERNEL_SIZE, 1, c).astype(x.dtype),
+        (1, 1),
+        "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12))
+def _block_hybrid_ad(
+    x, kernel, bias, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
+    tile_h, eps, interpret,
+):
+    out, _ = _block_pallas(
+        x, kernel, bias, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
+        tile_h, eps, interpret, emit_conv=True,
+    )
+    return out
+
+
+def _block_hybrid_fwd(x, kernel, bias, ln_scale, ln_bias, w1, b1, w2, b2,
+                      gamma, tile_h, eps, interpret):
+    out, t = _block_pallas(
+        x, kernel, bias, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
+        tile_h, eps, interpret, emit_conv=True,
+    )
+    return out, (x, t, kernel, bias, ln_scale, ln_bias, w1, b1, w2, b2, gamma)
+
+
+def _block_hybrid_bwd(tile_h, eps, interpret, saved, g):
+    from spine_vision_tpu.ops.fused_mlp import _ln_mlp_bwd_pallas
+
+    x, t, kernel, bias, ln_scale, ln_bias, w1, b1, w2, b2, gamma = saved
+    dt, dls, dlb, dw1, db1, dw2, db2, dgamma = _ln_mlp_bwd_pallas(
+        t, ln_scale, ln_bias, w1, b1, w2, b2, gamma, g, interpret
+    )
+    dt = dt.astype(x.dtype)
+    # XLA's own grouped-conv gradients (the composed path's winners): the
+    # primal conv below is dead code under jit (conv VJPs don't use it).
+    _, conv_vjp = jax.vjp(_conv_ref, x, kernel)
+    dx_conv, dk = conv_vjp(dt)
+    dbias = jnp.sum(dt.astype(jnp.float32), axis=(0, 1, 2))
+    dx = (dx_conv.astype(jnp.float32) + g.astype(jnp.float32)).astype(x.dtype)
+    return (
+        dx,
+        dk.astype(kernel.dtype),
+        dbias.reshape(bias.shape).astype(bias.dtype),
+        dls.reshape(ln_scale.shape).astype(ln_scale.dtype),
+        dlb.reshape(ln_bias.shape).astype(ln_bias.dtype),
+        dw1.astype(w1.dtype),
+        db1.reshape(b1.shape).astype(b1.dtype),
+        dw2.astype(w2.dtype),
+        db2.reshape(b2.shape).astype(b2.dtype),
+        dgamma.reshape(gamma.shape).astype(gamma.dtype),
+    )
+
+
+_block_hybrid_ad.defvjp(_block_hybrid_fwd, _block_hybrid_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_h", "eps", "interpret"))
+def convnext_block_hybrid(
+    x: Array,
+    dw_kernel: Array,
+    dw_bias: Array,
+    ln_scale: Array,
+    ln_bias: Array,
+    w1: Array,
+    b1: Array,
+    w2: Array,
+    b2: Array,
+    gamma: Array,
+    tile_h: int = 32,
+    eps: float = 1e-6,
+    interpret: bool = False,
+) -> Array:
+    """Trainable fused ConvNeXt block, hybrid strategy:
+    ``x + gamma * mlp(LayerNorm(dwconv7x7(x) + bias))``.
+
+    Forward = the inference megakernel emitting ``(y, t)`` (one x read;
+    the dwconv VPU stencil hides under the MLP matmuls); backward = the
+    composed winner (resident LN-MLP backward kernel from ``t`` + XLA
+    grouped-conv gradients). Args/returns match
+    :func:`ops.convnext_block.convnext_block_fused`.
+    """
+    if x.shape[-1] > MAX_FUSED_DIM:
+        raise ValueError(
+            f"C={x.shape[-1]} exceeds MAX_FUSED_DIM={MAX_FUSED_DIM}; use the "
+            "XLA fallback path."
+        )
+    return _block_hybrid_ad(
+        x, dw_kernel, dw_bias, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
+        tile_h, eps, interpret,
+    )

@@ -42,14 +42,24 @@ from spine_vision_tpu.ops.fused_mlp import (
 )
 
 
-def _make_block_kernel(num_tiles: int, eps: float, rh: int):
-    """Kernel over a flattened (batch * h-tile) grid, double-buffered DMA."""
+def _make_block_kernel(num_tiles: int, eps: float, rh: int, emit_conv: bool = False):
+    """Kernel over a flattened (batch * h-tile) grid, double-buffered DMA.
+
+    With ``emit_conv`` the kernel also writes the post-conv pre-LN
+    activation ``t = dwconv(x) + bias`` (rounded to the output dtype, and
+    the LayerNorm consumes the ROUNDED value) so a checkpoint-style
+    backward that recomputes LN/hidden from ``t`` sees exactly the
+    forward's numerics — the hybrid training path (ops.block_train)."""
 
     def kernel(
         x_hbm, k_ref, bias_ref, scale_ref, beta_ref,
         w1_ref, b1_ref, w2_ref, b2_ref, gamma_ref,
-        out_ref, tiles, sems,
+        out_ref, *rest,
     ):
+        if emit_conv:
+            t_ref, tiles, sems = rest
+        else:
+            tiles, sems = rest
         _, th, w, c = out_ref.shape
         g = pl.program_id(0)
         total = pl.num_programs(0)
@@ -87,6 +97,10 @@ def _make_block_kernel(num_tiles: int, eps: float, rh: int):
                 ) * k_ref[dy * KERNEL_SIZE + dx, :].astype(jnp.float32)
             acc = acc + col[:, dx : dx + w, :]
         acc = acc + bias_ref[0, :].astype(jnp.float32)
+        if emit_conv:
+            t_lp = acc.astype(t_ref.dtype)
+            t_ref[0] = t_lp
+            acc = t_lp.astype(jnp.float32)
 
         # channel LayerNorm
         mu = jnp.mean(acc, axis=-1, keepdims=True)
@@ -131,7 +145,8 @@ def _block_pallas(
     tile_h: int,
     eps: float,
     interpret: bool,
-) -> Array:
+    emit_conv: bool = False,
+) -> Array | tuple[Array, Array]:
     b, h, w, c = x.shape
     hd = w1.shape[1]
     padded_w = ((w + 2 * PAD + 7) // 8) * 8
@@ -159,8 +174,14 @@ def _block_pallas(
         shape, lambda g: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
 
+    tile_spec = pl.BlockSpec(
+        (1, th, w, c),
+        lambda g: (g // num_tiles, g % num_tiles, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    tile_shape = jax.ShapeDtypeStruct((b, padded_h, w, c), x.dtype)
     out = pl.pallas_call(
-        _make_block_kernel(num_tiles, eps, rh),
+        _make_block_kernel(num_tiles, eps, rh, emit_conv),
         grid=(b * num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM, DMA'd
@@ -174,12 +195,8 @@ def _block_pallas(
             fix((1, c)),
             fix((1, c)),
         ],
-        out_specs=pl.BlockSpec(
-            (1, th, w, c),
-            lambda g: (g // num_tiles, g % num_tiles, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, padded_h, w, c), x.dtype),
+        out_specs=[tile_spec, tile_spec] if emit_conv else tile_spec,
+        out_shape=[tile_shape, tile_shape] if emit_conv else tile_shape,
         scratch_shapes=[
             pltpu.VMEM((2, th + 2 * PAD, padded_w, c), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
@@ -190,6 +207,8 @@ def _block_pallas(
         ln_bias.reshape(1, c), w1, b1.reshape(1, hd), w2, b2.reshape(1, c),
         gamma.reshape(1, c),
     )
+    if emit_conv:
+        return out[0][:, :h], out[1][:, :h]
     return out[:, :h]
 
 

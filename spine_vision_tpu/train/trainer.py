@@ -54,16 +54,19 @@ def _resolve_use_pallas(
 ) -> bool | str:
     """Resolve the training-kernel flags to the model's ``use_pallas`` arg.
 
-    ``use_pallas_mlp=None`` means auto: the LN-fused Pallas MLP kernels are
-    on for TPU backends (ConvNeXt-base@512 b32 fwd+bwd 187 vs 140 img/s)
+    ``use_pallas_mlp=None`` means auto: the fused Pallas training kernels
+    are on for TPU backends — the HYBRID whole-block kernel (megakernel
+    forward emitting the conv intermediate + composed backward;
+    ConvNeXt-base@512 b32 fwd+bwd 204.5 vs 200.7 "mlp" vs 140 XLA img/s) —
     and off elsewhere (CPU runs Pallas in interpret mode — correct but
     slow, so tests opt in explicitly where they want kernel coverage).
+    Explicit ``use_pallas_mlp=True`` keeps the round-2 LN-fused MLP mode.
     """
     import jax
 
     mlp = use_pallas_mlp
-    if mlp is None:
-        mlp = jax.default_backend() == "tpu"
+    if mlp is None and jax.default_backend() == "tpu":
+        return True if use_pallas_dwconv else "hybrid"
     if mlp and use_pallas_dwconv:
         return True
     return "mlp" if mlp else False

@@ -102,11 +102,14 @@ def test_pad_to_multiple_semantics():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
-def test_dp_step_with_pallas_mlp_matches_single_device():
-    """The fused-MLP custom VJP must compose with mesh sharding: one DP
-    step on 8 devices equals the same step on 1 device, flag on."""
+@pytest.mark.parametrize("use_pallas", ["mlp", "hybrid"])
+def test_dp_step_with_pallas_mlp_matches_single_device(use_pallas):
+    """The fused-kernel custom VJPs must compose with mesh sharding: one DP
+    step on 8 devices equals the same step on 1 device, flag on. Covers the
+    LN-fused MLP and the hybrid whole-block kernel (the TPU training
+    default)."""
     model = CoordinateRegressor(
-        backbone_name="convnext_tiny", dtype=jnp.float32, use_pallas="mlp"
+        backbone_name="convnext_tiny", dtype=jnp.float32, use_pallas=use_pallas
     )
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False
