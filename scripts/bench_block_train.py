@@ -105,6 +105,7 @@ def main() -> None:
 
         for name, fn in (
             ("block", block_train.convnext_block_train),
+            ("hybrid", block_train.convnext_block_hybrid),
             ("composed", composed),
         ):
             try:

@@ -1,7 +1,7 @@
 """Capture a jax.profiler trace of the ConvNeXt-base@512 b32 fwd+bwd step
 and print the device-op time breakdown (aggregated by op name).
 
-Usage: python scripts/trace_train_step.py [xla|mlp|mega] [fwd|fwdbwd]
+Usage: python scripts/trace_train_step.py [xla|mlp|mega|block|hybrid] [fwd|fwdbwd]
 
 The axon tunnel supports profiling (verified: device plane with per-fusion
 timings lands in vm.trace.json.gz); this replaces blind ablation as the
@@ -32,7 +32,7 @@ ITERS = 3
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "mlp"
     mode = sys.argv[2] if len(sys.argv) > 2 else "fwdbwd"
-    use_pallas = {"xla": False, "mlp": "mlp", "mega": True, "block": "block"}[which]
+    use_pallas = {"xla": False, "mlp": "mlp", "mega": True, "block": "block", "hybrid": "hybrid"}[which]
 
     from spine_vision_tpu.models import CoordinateRegressor
 

@@ -42,6 +42,11 @@ from spine_vision_tpu.ops.fused_mlp import (
 )
 
 
+# Per-C forward tile-height overrides for tuning probes (empty = use the
+# VMEM budget rule below). Set from scripts; not a public knob.
+_FWD_TILE_H: dict[int, int] = {}
+
+
 def _make_block_kernel(num_tiles: int, eps: float, rh: int, emit_conv: bool = False):
     """Kernel over a flattened (batch * h-tile) grid, double-buffered DMA.
 
@@ -151,10 +156,16 @@ def _block_pallas(
     hd = w1.shape[1]
     padded_w = ((w + 2 * PAD + 7) // 8) * 8
     th = min(tile_h, h)
-    # Budget rule from ops.dwconv, tightened: the MLP adds resident weights
-    # (w1+w2) and a row-chunked hidden on top of the halo tile + f32 y.
-    while th > 8 and (th + 2 * PAD) * padded_w * c * 4 > 2 * 1024 * 1024:
-        th //= 2
+    if c in _FWD_TILE_H:
+        # Probe override (scripts/bench_block_train.py tuning): skips the
+        # budget rule — the compile itself is the experiment.
+        th = min(_FWD_TILE_H[c], h)
+    else:
+        # Budget rule from ops.dwconv, tightened: the MLP adds resident
+        # weights (w1+w2) and a row-chunked hidden on top of the halo tile
+        # + f32 y.
+        while th > 8 and (th + 2 * PAD) * padded_w * c * 4 > 2 * 1024 * 1024:
+            th //= 2
     num_tiles = (h + th - 1) // th
     padded_h = num_tiles * th
 
