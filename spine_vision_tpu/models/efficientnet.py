@@ -197,8 +197,12 @@ class InvertedResidual(nn.Module):
             y = act(y)
 
         if self.se_ratio > 0:
+            # timm EfficientNet SE sizing and activations: squeeze width
+            # from the block INPUT channels (max(1, in_chs * se_ratio)),
+            # block activation inside, sigmoid gate.
             y = SqueezeExcite(
-                reduction=int(self.expand / self.se_ratio) if self.expand > 1 else int(1 / self.se_ratio),
+                hidden=max(1, int(in_filters * self.se_ratio)),
+                act=self.activation,
                 dtype=self.dtype,
                 name="se",
             )(y)
@@ -372,7 +376,15 @@ class MobileNetV3(nn.Module):
             y = norm(name=f"block{i + 1}_dw_bn")(y)
             y = act(y)
             if use_se:
-                y = SqueezeExcite(reduction=4, dtype=self.dtype, name=f"block{i + 1}_se")(y)
+                # timm MobileNetV3 SE: squeeze width make_divisible(mid/4, 8),
+                # relu inside, hard-sigmoid gate.
+                y = SqueezeExcite(
+                    hidden=_scale_filters(expand_f, 0.25),
+                    act="relu",
+                    gate="hard_sigmoid",
+                    dtype=self.dtype,
+                    name=f"block{i + 1}_se",
+                )(y)
             y = nn.Conv(
                 out_f, (1, 1), use_bias=False, dtype=self.dtype,
                 name=f"block{i + 1}_project",

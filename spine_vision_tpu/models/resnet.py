@@ -22,6 +22,7 @@ from functools import partial
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 from jax import Array
 
@@ -73,20 +74,33 @@ RESNET_CONFIGS: dict[str, ResNetConfig] = {
 
 
 class SqueezeExcite(nn.Module):
-    """Squeeze-and-excitation channel attention."""
+    """Squeeze-and-excitation channel attention.
+
+    Defaults match the ResNet-RS SE convention (relu + sigmoid,
+    ``channels // reduction`` floored at 8). EfficientNet/MobileNetV3
+    callers pass explicit ``hidden``/``act``/``gate`` to match timm's SE
+    sizing and activations exactly (their checkpoints convert 1:1 —
+    reference training/models/backbone.py:143-177 consumes timm)."""
 
     reduction: int = 16
+    hidden: int | None = None  # explicit squeeze width (overrides reduction)
+    act: str = "relu"  # "relu" | "silu"
+    gate: str = "sigmoid"  # "sigmoid" | "hard_sigmoid"
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         channels = x.shape[-1]
         squeezed = jnp.mean(x, axis=(1, 2))
-        hidden = max(channels // self.reduction, 8)
+        hidden = (
+            self.hidden
+            if self.hidden is not None
+            else max(channels // self.reduction, 8)
+        )
         s = nn.Dense(hidden, dtype=self.dtype, name="fc1")(squeezed)
-        s = nn.relu(s)
+        s = nn.silu(s) if self.act == "silu" else nn.relu(s)
         s = nn.Dense(channels, dtype=self.dtype, name="fc2")(s)
-        s = nn.sigmoid(s)
+        s = jax.nn.hard_sigmoid(s) if self.gate == "hard_sigmoid" else nn.sigmoid(s)
         return x * s[:, None, None, :]
 
 

@@ -723,3 +723,173 @@ def test_vit_tiny_full_model_matches_torch_oracle():
         )
     )
     np.testing.assert_allclose(jax_out, torch_out, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# EfficientNet-B0 full-model oracle: the torch side DEFINES the timm layout
+# (shapes synthesized from the architecture spec, not from Flax init), so SE
+# squeeze widths, BN eps, stride placement, and residual gating are all
+# checked against an independent implementation. timm semantics: SE squeeze
+# width = round(in_chs * se_ratio) with the block activation (SiLU) inside
+# and a sigmoid gate; BN eps 1e-3.
+# Reference consumption: efficientnet_b0.ra_in1k, backbone.py:73-77.
+# ---------------------------------------------------------------------------
+
+# (kind, expand, in0, out, num_blocks, kernel, stride) — unscaled B0.
+_B0_SPECS = (
+    ("ds", 1, 32, 16, 1, 3, 1),
+    ("ir", 6, 16, 24, 2, 3, 2),
+    ("ir", 6, 24, 40, 2, 5, 2),
+    ("ir", 6, 40, 80, 3, 3, 2),
+    ("ir", 6, 80, 112, 3, 5, 1),
+    ("ir", 6, 112, 192, 4, 5, 2),
+    ("ir", 6, 192, 320, 1, 3, 1),
+)
+
+
+def _synth_effnet_b0_sd():
+    rng = np.random.default_rng(11)
+    sd = {}
+
+    def t(*shape, scale=0.1):
+        return torch.tensor((rng.normal(size=shape) * scale).astype(np.float32))
+
+    def bn(name, c):
+        sd[f"{name}.weight"] = t(c, scale=1.0)
+        sd[f"{name}.bias"] = t(c)
+        sd[f"{name}.running_mean"] = t(c)
+        sd[f"{name}.running_var"] = torch.abs(t(c, scale=1.0)) + 0.5
+
+    def se(p, mid, rd):
+        sd[f"{p}.se.conv_reduce.weight"] = t(rd, mid, 1, 1)
+        sd[f"{p}.se.conv_reduce.bias"] = t(rd)
+        sd[f"{p}.se.conv_expand.weight"] = t(mid, rd, 1, 1)
+        sd[f"{p}.se.conv_expand.bias"] = t(mid)
+
+    sd["conv_stem.weight"] = t(32, 3, 3, 3)
+    bn("bn1", 32)
+    for s, (kind, e, cin0, cout, n, k, _stride) in enumerate(_B0_SPECS):
+        for b in range(n):
+            cin = cin0 if b == 0 else cout
+            mid = cin * e
+            rd = max(1, cin // 4)
+            p = f"blocks.{s}.{b}"
+            if kind == "ds":
+                sd[f"{p}.conv_dw.weight"] = t(mid, 1, k, k)
+                bn(f"{p}.bn1", mid)
+                se(p, mid, rd)
+                sd[f"{p}.conv_pw.weight"] = t(cout, mid, 1, 1)
+                bn(f"{p}.bn2", cout)
+            else:
+                sd[f"{p}.conv_pw.weight"] = t(mid, cin, 1, 1)
+                bn(f"{p}.bn1", mid)
+                sd[f"{p}.conv_dw.weight"] = t(mid, 1, k, k)
+                bn(f"{p}.bn2", mid)
+                se(p, mid, rd)
+                sd[f"{p}.conv_pwl.weight"] = t(cout, mid, 1, 1)
+                bn(f"{p}.bn3", cout)
+    sd["conv_head.weight"] = t(1280, 320, 1, 1)
+    bn("bn2", 1280)
+    sd["classifier.weight"] = t(10, 1280)
+    sd["classifier.bias"] = t(10)
+    return sd
+
+
+def _torch_effnet_b0_forward(sd, x):
+    F = torch.nn.functional
+
+    def bn(name, h):
+        return F.batch_norm(
+            h,
+            sd[f"{name}.running_mean"],
+            sd[f"{name}.running_var"],
+            sd[f"{name}.weight"],
+            sd[f"{name}.bias"],
+            training=False,
+            eps=1e-3,
+        )
+
+    def se(p, y):
+        s = y.mean((2, 3), keepdim=True)
+        s = F.silu(
+            F.conv2d(
+                s, sd[f"{p}.se.conv_reduce.weight"], sd[f"{p}.se.conv_reduce.bias"]
+            )
+        )
+        s = torch.sigmoid(
+            F.conv2d(
+                s, sd[f"{p}.se.conv_expand.weight"], sd[f"{p}.se.conv_expand.bias"]
+            )
+        )
+        return y * s
+
+    h = F.silu(bn("bn1", F.conv2d(x, sd["conv_stem.weight"], None, 2, 1)))
+    for s, (kind, e, cin0, cout, n, k, stride) in enumerate(_B0_SPECS):
+        for b in range(n):
+            cin = cin0 if b == 0 else cout
+            st = stride if b == 0 else 1
+            mid = cin * e
+            p = f"blocks.{s}.{b}"
+            identity = h
+            if kind == "ds":
+                y = F.silu(
+                    bn(
+                        f"{p}.bn1",
+                        F.conv2d(
+                            h, sd[f"{p}.conv_dw.weight"], None, st, k // 2,
+                            groups=mid,
+                        ),
+                    )
+                )
+                y = se(p, y)
+                y = bn(f"{p}.bn2", F.conv2d(y, sd[f"{p}.conv_pw.weight"]))
+            else:
+                y = F.silu(bn(f"{p}.bn1", F.conv2d(h, sd[f"{p}.conv_pw.weight"])))
+                y = F.silu(
+                    bn(
+                        f"{p}.bn2",
+                        F.conv2d(
+                            y, sd[f"{p}.conv_dw.weight"], None, st, k // 2,
+                            groups=mid,
+                        ),
+                    )
+                )
+                y = se(p, y)
+                y = bn(f"{p}.bn3", F.conv2d(y, sd[f"{p}.conv_pwl.weight"]))
+            if st == 1 and cin == cout:
+                y = y + identity
+            h = y
+    h = F.silu(bn("bn2", F.conv2d(h, sd["conv_head.weight"])))
+    return h.mean((2, 3))
+
+
+def test_efficientnet_b0_full_model_matches_torch_oracle():
+    from spine_vision_tpu.models.convert import convert_efficientnet_state_dict
+    from spine_vision_tpu.models.efficientnet import (
+        EFFICIENTNET_CONFIGS,
+        EfficientNet,
+    )
+
+    sd = _synth_effnet_b0_sd()
+    params, stats = convert_efficientnet_state_dict(sd)
+    model = EfficientNet(
+        config=EFFICIENTNET_CONFIGS["efficientnet_b0"], dtype=jnp.float32
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
+    )
+    assert _tree_shapes(params) == _tree_shapes(variables["params"])
+    assert _tree_shapes(stats) == _tree_shapes(variables["batch_stats"])
+
+    rng = np.random.default_rng(12)
+    x = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        torch_out = _torch_effnet_b0_forward(sd, torch.tensor(x)).numpy()
+    jax_out = np.asarray(
+        model.apply(
+            {"params": params, "batch_stats": stats},
+            jnp.asarray(x.transpose(0, 2, 3, 1)),
+            train=False,
+        )
+    )
+    np.testing.assert_allclose(jax_out, torch_out, rtol=1e-4, atol=1e-4)
