@@ -893,3 +893,191 @@ def test_efficientnet_b0_full_model_matches_torch_oracle():
         )
     )
     np.testing.assert_allclose(jax_out, torch_out, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# MobileNetV3-small full-model oracle — same contract as the B0 oracle: the
+# torch side defines the timm layout (shapes from the architecture spec).
+# timm MNv3 SE: squeeze width make_divisible(mid/4, 8), relu inside,
+# hard-sigmoid gate; BN eps 1e-3; post-pool conv_head (with bias) + hswish.
+# Reference consumption: mobilenetv3_small_100.lamb_in1k, backbone.py:83.
+# ---------------------------------------------------------------------------
+
+# timm stage grouping for mobilenetv3_small_100:
+# (expand, out, kernel, stride, se, act) per block; final ConvBnAct stage.
+_MNV3_SMALL_STAGES = (
+    ((16, 16, 3, 2, True, "relu"),),
+    ((72, 24, 3, 2, False, "relu"), (88, 24, 3, 1, False, "relu")),
+    (
+        (96, 40, 5, 2, True, "hswish"),
+        (240, 40, 5, 1, True, "hswish"),
+        (240, 40, 5, 1, True, "hswish"),
+    ),
+    ((120, 48, 5, 1, True, "hswish"), (144, 48, 5, 1, True, "hswish")),
+    (
+        (288, 96, 5, 2, True, "hswish"),
+        (576, 96, 5, 1, True, "hswish"),
+        (576, 96, 5, 1, True, "hswish"),
+    ),
+)
+
+
+def _mnv3_rd(mid):
+    from spine_vision_tpu.models.efficientnet import _scale_filters
+
+    return _scale_filters(mid, 0.25)
+
+
+def _synth_mnv3_small_sd():
+    rng = np.random.default_rng(21)
+    sd = {}
+
+    def t(*shape, scale=0.1):
+        return torch.tensor((rng.normal(size=shape) * scale).astype(np.float32))
+
+    def bn(name, c):
+        sd[f"{name}.weight"] = t(c, scale=1.0)
+        sd[f"{name}.bias"] = t(c)
+        sd[f"{name}.running_mean"] = t(c)
+        sd[f"{name}.running_var"] = torch.abs(t(c, scale=1.0)) + 0.5
+
+    sd["conv_stem.weight"] = t(16, 3, 3, 3)
+    bn("bn1", 16)
+    cin = 16
+    for s, stage in enumerate(_MNV3_SMALL_STAGES):
+        for b, (exp, out, k, _stride, use_se, _act) in enumerate(stage):
+            p = f"blocks.{s}.{b}"
+            if exp == cin:
+                sd[f"{p}.conv_dw.weight"] = t(exp, 1, k, k)
+                bn(f"{p}.bn1", exp)
+                sd[f"{p}.conv_pw.weight"] = t(out, exp, 1, 1)
+                bn(f"{p}.bn2", out)
+            else:
+                sd[f"{p}.conv_pw.weight"] = t(exp, cin, 1, 1)
+                bn(f"{p}.bn1", exp)
+                sd[f"{p}.conv_dw.weight"] = t(exp, 1, k, k)
+                bn(f"{p}.bn2", exp)
+                sd[f"{p}.conv_pwl.weight"] = t(out, exp, 1, 1)
+                bn(f"{p}.bn3", out)
+            if use_se:
+                rd = _mnv3_rd(exp)
+                sd[f"{p}.se.conv_reduce.weight"] = t(rd, exp, 1, 1)
+                sd[f"{p}.se.conv_reduce.bias"] = t(rd)
+                sd[f"{p}.se.conv_expand.weight"] = t(exp, rd, 1, 1)
+                sd[f"{p}.se.conv_expand.bias"] = t(exp)
+            cin = out
+    s_final = len(_MNV3_SMALL_STAGES)
+    sd[f"blocks.{s_final}.0.conv.weight"] = t(576, 96, 1, 1)
+    bn(f"blocks.{s_final}.0.bn1", 576)
+    sd["conv_head.weight"] = t(1024, 576, 1, 1)
+    sd["conv_head.bias"] = t(1024)
+    sd["classifier.weight"] = t(10, 1024)
+    sd["classifier.bias"] = t(10)
+    return sd
+
+
+def _torch_mnv3_small_forward(sd, x):
+    F = torch.nn.functional
+
+    def bn(name, h):
+        return F.batch_norm(
+            h,
+            sd[f"{name}.running_mean"],
+            sd[f"{name}.running_var"],
+            sd[f"{name}.weight"],
+            sd[f"{name}.bias"],
+            training=False,
+            eps=1e-3,
+        )
+
+    def se(p, y):
+        s = y.mean((2, 3), keepdim=True)
+        s = F.relu(
+            F.conv2d(
+                s, sd[f"{p}.se.conv_reduce.weight"], sd[f"{p}.se.conv_reduce.bias"]
+            )
+        )
+        s = F.hardsigmoid(
+            F.conv2d(
+                s, sd[f"{p}.se.conv_expand.weight"], sd[f"{p}.se.conv_expand.bias"]
+            )
+        )
+        return y * s
+
+    h = F.hardswish(bn("bn1", F.conv2d(x, sd["conv_stem.weight"], None, 2, 1)))
+    cin = 16
+    for s, stage in enumerate(_MNV3_SMALL_STAGES):
+        for b, (exp, out, k, stride, use_se, act_name) in enumerate(stage):
+            act = F.relu if act_name == "relu" else F.hardswish
+            p = f"blocks.{s}.{b}"
+            identity = h
+            y = h
+            if exp != cin:
+                y = act(bn(f"{p}.bn1", F.conv2d(y, sd[f"{p}.conv_pw.weight"])))
+                dw_bn, proj_key, proj_bn = "bn2", "conv_pwl", "bn3"
+            else:
+                dw_bn, proj_key, proj_bn = "bn1", "conv_pw", "bn2"
+            y = act(
+                bn(
+                    f"{p}.{dw_bn}",
+                    F.conv2d(
+                        y, sd[f"{p}.conv_dw.weight"], None, stride, k // 2,
+                        groups=exp,
+                    ),
+                )
+            )
+            if use_se:
+                y = se(p, y)
+            y = bn(f"{p}.{proj_bn}", F.conv2d(y, sd[f"{p}.{proj_key}.weight"]))
+            if stride == 1 and cin == out:
+                y = y + identity
+            h = y
+            cin = out
+    s_final = len(_MNV3_SMALL_STAGES)
+    h = F.hardswish(
+        bn(
+            f"blocks.{s_final}.0.bn1",
+            F.conv2d(h, sd[f"blocks.{s_final}.0.conv.weight"]),
+        )
+    )
+    h = h.mean((2, 3))
+    h = F.hardswish(
+        F.linear(
+            h,
+            sd["conv_head.weight"].reshape(1024, 576),
+            sd["conv_head.bias"],
+        )
+    )
+    return h
+
+
+def test_mobilenetv3_small_full_model_matches_torch_oracle():
+    from spine_vision_tpu.models.convert import convert_mobilenetv3_state_dict
+    from spine_vision_tpu.models.efficientnet import (
+        MOBILENETV3_CONFIGS,
+        MobileNetV3,
+    )
+
+    sd = _synth_mnv3_small_sd()
+    params, stats = convert_mobilenetv3_state_dict(sd)
+    model = MobileNetV3(
+        config=MOBILENETV3_CONFIGS["mobilenetv3_small"], dtype=jnp.float32
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
+    )
+    assert _tree_shapes(params) == _tree_shapes(variables["params"])
+    assert _tree_shapes(stats) == _tree_shapes(variables["batch_stats"])
+
+    rng = np.random.default_rng(22)
+    x = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        torch_out = _torch_mnv3_small_forward(sd, torch.tensor(x)).numpy()
+    jax_out = np.asarray(
+        model.apply(
+            {"params": params, "batch_stats": stats},
+            jnp.asarray(x.transpose(0, 2, 3, 1)),
+            train=False,
+        )
+    )
+    np.testing.assert_allclose(jax_out, torch_out, rtol=1e-4, atol=1e-4)
