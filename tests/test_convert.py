@@ -1081,3 +1081,181 @@ def test_mobilenetv3_small_full_model_matches_torch_oracle():
         )
     )
     np.testing.assert_allclose(jax_out, torch_out, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Swin-tiny full-model oracle — torch side implements the original
+# SwinTransformer algorithm (window partition, cyclic shift + additive mask,
+# relative position bias, timm patch-merge concat order x0/x1/x2/x3 =
+# (h0w0, h1w0, h0w1, h1w1)) with timm naming, so the converter's merge-group
+# permutation and qkv packing are checked numerically.
+# Reference consumption: swin_tiny via timm, backbone.py:747-749.
+# ---------------------------------------------------------------------------
+
+_SWIN_T = dict(dims=(96, 192, 384, 768), depths=(2, 2, 6, 2), heads=(3, 6, 12, 24), ws=7)
+
+
+def _torch_rel_index(ws):
+    coords = torch.stack(
+        torch.meshgrid(torch.arange(ws), torch.arange(ws), indexing="ij")
+    )
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]
+    rel = rel.permute(1, 2, 0).contiguous()
+    rel[:, :, 0] += ws - 1
+    rel[:, :, 1] += ws - 1
+    rel[:, :, 0] *= 2 * ws - 1
+    return rel.sum(-1)
+
+
+def _synth_swin_tiny_sd():
+    rng = np.random.default_rng(31)
+    sd = {}
+
+    def t(*shape, scale=0.1):
+        return torch.tensor((rng.normal(size=shape) * scale).astype(np.float32))
+
+    def lnp(name, c):
+        sd[f"{name}.weight"] = t(c, scale=1.0)
+        sd[f"{name}.bias"] = t(c)
+
+    cfg = _SWIN_T
+    sd["patch_embed.proj.weight"] = t(96, 3, 4, 4)
+    sd["patch_embed.proj.bias"] = t(96)
+    lnp("patch_embed.norm", 96)
+    for s, (d, depth, heads) in enumerate(
+        zip(cfg["dims"], cfg["depths"], cfg["heads"])
+    ):
+        if s > 0:
+            sd[f"layers.{s}.downsample.reduction.weight"] = t(d, 2 * d)
+            lnp(f"layers.{s}.downsample.norm", 2 * d)
+        for b in range(depth):
+            p = f"layers.{s}.blocks.{b}"
+            lnp(f"{p}.norm1", d)
+            sd[f"{p}.attn.qkv.weight"] = t(3 * d, d)
+            sd[f"{p}.attn.qkv.bias"] = t(3 * d)
+            sd[f"{p}.attn.proj.weight"] = t(d, d)
+            sd[f"{p}.attn.proj.bias"] = t(d)
+            sd[f"{p}.attn.relative_position_bias_table"] = t(
+                (2 * cfg["ws"] - 1) ** 2, heads
+            )
+            sd[f"{p}.attn.relative_position_index"] = _torch_rel_index(cfg["ws"])
+            lnp(f"{p}.norm2", d)
+            sd[f"{p}.mlp.fc1.weight"] = t(4 * d, d)
+            sd[f"{p}.mlp.fc1.bias"] = t(4 * d)
+            sd[f"{p}.mlp.fc2.weight"] = t(d, 4 * d)
+            sd[f"{p}.mlp.fc2.bias"] = t(d)
+    lnp("norm", 768)
+    sd["head.weight"] = t(10, 768)
+    sd["head.bias"] = t(10)
+    return sd
+
+
+def _torch_swin_tiny_forward(sd, x):
+    F = torch.nn.functional
+    cfg = _SWIN_T
+    ws = cfg["ws"]
+
+    def ln(name, h):
+        return F.layer_norm(
+            h, (h.shape[-1],), sd[f"{name}.weight"], sd[f"{name}.bias"], 1e-5
+        )
+
+    def win_part(h):
+        b, H, W, c = h.shape
+        h = h.view(b, H // ws, ws, W // ws, ws, c)
+        return h.permute(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, c)
+
+    def win_rev(wins, b, H, W):
+        c = wins.shape[-1]
+        h = wins.view(b, H // ws, W // ws, ws, ws, c)
+        return h.permute(0, 1, 3, 2, 4, 5).reshape(b, H, W, c)
+
+    def attn_mask(H, W, shift):
+        img = torch.zeros(1, H, W, 1)
+        cnt = 0
+        for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            for wsl in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+                img[:, hs, wsl, :] = cnt
+                cnt += 1
+        mw = win_part(img).squeeze(-1)
+        m = mw[:, None, :] - mw[:, :, None]
+        return torch.where(m != 0, torch.tensor(-100.0), torch.tensor(0.0))
+
+    def block(p, h, heads, shift):
+        b, H, W, c = h.shape
+        hd = c // heads
+        if min(H, W) <= ws:
+            shift = 0
+        y = ln(f"{p}.norm1", h)
+        if shift:
+            y = torch.roll(y, (-shift, -shift), dims=(1, 2))
+        wins = win_part(y)
+        qkv = F.linear(wins, sd[f"{p}.attn.qkv.weight"], sd[f"{p}.attn.qkv.bias"])
+        n = ws * ws
+        qkv = qkv.reshape(-1, n, 3, heads, hd).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = (q * hd**-0.5) @ k.transpose(-2, -1)
+        idx = sd[f"{p}.attn.relative_position_index"]
+        bias = sd[f"{p}.attn.relative_position_bias_table"][
+            idx.reshape(-1)
+        ].reshape(n, n, heads).permute(2, 0, 1)
+        attn = attn + bias[None]
+        if shift:
+            mask = attn_mask(H, W, shift)
+            nw = mask.shape[0]
+            attn = attn.view(-1, nw, heads, n, n) + mask[None, :, None]
+            attn = attn.view(-1, heads, n, n)
+        attn = attn.softmax(-1)
+        out = (attn @ v).transpose(1, 2).reshape(-1, n, c)
+        out = F.linear(out, sd[f"{p}.attn.proj.weight"], sd[f"{p}.attn.proj.bias"])
+        y = win_rev(out, b, H, W)
+        if shift:
+            y = torch.roll(y, (shift, shift), dims=(1, 2))
+        h = h + y
+        y = ln(f"{p}.norm2", h)
+        y = F.gelu(F.linear(y, sd[f"{p}.mlp.fc1.weight"], sd[f"{p}.mlp.fc1.bias"]))
+        y = F.linear(y, sd[f"{p}.mlp.fc2.weight"], sd[f"{p}.mlp.fc2.bias"])
+        return h + y
+
+    h = F.conv2d(x, sd["patch_embed.proj.weight"], sd["patch_embed.proj.bias"], 4)
+    h = ln("patch_embed.norm", h.permute(0, 2, 3, 1))
+    for s, (depth, heads) in enumerate(zip(cfg["depths"], cfg["heads"])):
+        if s > 0:
+            x0 = h[:, 0::2, 0::2]
+            x1 = h[:, 1::2, 0::2]
+            x2 = h[:, 0::2, 1::2]
+            x3 = h[:, 1::2, 1::2]
+            m = ln(f"layers.{s}.downsample.norm", torch.cat([x0, x1, x2, x3], -1))
+            h = F.linear(m, sd[f"layers.{s}.downsample.reduction.weight"])
+        for b in range(depth):
+            h = block(
+                f"layers.{s}.blocks.{b}", h, heads,
+                0 if b % 2 == 0 else ws // 2,
+            )
+    h = ln("norm", h)
+    return h.mean((1, 2))
+
+
+def test_swin_tiny_full_model_matches_torch_oracle():
+    from spine_vision_tpu.models.convert import convert_swin_state_dict
+    from spine_vision_tpu.models.swin import SWIN_CONFIGS, SwinTransformer
+
+    sd = _synth_swin_tiny_sd()
+    params = convert_swin_state_dict(sd)
+    model = SwinTransformer(config=SWIN_CONFIGS["swin_tiny"], dtype=jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)), train=False
+    )
+    assert _tree_shapes(params) == _tree_shapes(variables["params"])
+
+    rng = np.random.default_rng(32)
+    x = rng.normal(size=(1, 3, 224, 224)).astype(np.float32)
+    with torch.no_grad():
+        torch_out = _torch_swin_tiny_forward(sd, torch.tensor(x)).numpy()
+    jax_out = np.asarray(
+        model.apply(
+            {"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False
+        )
+    )
+    np.testing.assert_allclose(jax_out, torch_out, rtol=1e-4, atol=1e-4)
