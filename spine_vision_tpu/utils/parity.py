@@ -35,7 +35,7 @@ from spine_vision_tpu.core import logger
 LEVELS = ["L1/L2", "L2/L3", "L3/L4", "L4/L5", "L5/S1"]
 LEVEL_YS = (0.22, 0.35, 0.48, 0.61, 0.74)  # normalized disc-center rows
 SLICE_HW = (192, 192)
-DISC_HALF = 12  # px half-extent of the textured disc site
+DISC_HALF = 14  # px half-extent of the textured disc site
 CROP_SIZE = (48, 48)
 LOC_SIZE = (128, 128)
 # 1 mm/px spacing and 24 mm deltas -> a 48x48 px crop region around each
@@ -53,11 +53,15 @@ def _draw_disc(img: np.ndarray, cx: int, cy: int, grade: int, herniation: int) -
     survives the crop kernel's per-crop min-max normalization."""
     h = DISC_HALF
     img[cy - h : cy + h, cx - h : cx + h] = 40.0
+    # 3-px bars on a 5-px pitch: wide enough to survive the rotated crop
+    # mode's bilinear resampling (2-px bars vanished under interpolation,
+    # which tested texture fragility instead of the pipeline — round-3
+    # parity attempts 2/3).
     for bar in range(grade):
-        x = cx - h + 2 + bar * 4
-        img[cy - h + 2 : cy + h - 2, x : x + 2] = 230.0
+        x = cx - h + 2 + bar * 5
+        img[cy - h + 2 : cy + h - 2, x : x + 3] = 230.0
     if herniation:
-        img[cy - h : cy - h + 5, cx - h : cx - h + 5] = 255.0
+        img[cy - h : cy - h + 6, cx - h : cx - h + 6] = 255.0
 
 
 def _render_slice(
@@ -75,51 +79,16 @@ def _render_slice(
     return img.astype(np.float32), coords
 
 
-def _window_crop(
-    img: np.ndarray, cx: int, cy: int, rng: np.random.Generator
-) -> np.ndarray:
-    """Extract one training crop from a full rendered slice, exactly like
-    the fused pipeline does at inference: a CROP_SIZE window around the
-    disc center (24 mm deltas at 1 mm/px -> 48x48, no resample), with
-    random center jitter standing in for the localization model's residual
-    error, then per-crop min-max stretch (the crop kernel's
-    normalize_to_uint8). Windowing the REAL slice matters: crops contain
-    fragments of the neighboring discs (levels are ~25 px apart), and the
-    classifier must train on that context — the reference gets this for
-    free by extracting training crops from real slices with the same loc
-    model (datasets/classification/spider.py:136-178)."""
-    jy, jx = rng.integers(-8, 9, size=2)
-    half = CROP_SIZE[0] // 2
-    y0, x0 = cy + int(jy) - half, cx + int(jx) - half
-    if rng.random() < 0.5:
-        # Half the crops mimic the ROTATED pipeline mode's RESAMPLING: the
-        # rotated crop keeps the disc horizontal (the angle tracks the
-        # disc axis) but the pixels go through bilinear interpolation. A
-        # rotate-then-unrotate pair reproduces exactly that smoothing with
-        # no net orientation change — training with net-rotated crops
-        # (round-3 first attempt) shifted the distribution the wrong way
-        # and cost horizontal accuracy instead.
-        from PIL import Image
-
-        margin = CROP_SIZE[0] // 2
-        big = img[
-            max(y0 - margin, 0) : y0 + CROP_SIZE[0] + margin,
-            max(x0 - margin, 0) : x0 + CROP_SIZE[1] + margin,
-        ]
-        angle = float(rng.uniform(2.0, 8.0)) * (1 if rng.random() < 0.5 else -1)
-        pil = Image.fromarray(big)
-        rot = pil.rotate(angle, Image.BILINEAR).rotate(-angle, Image.BILINEAR)
-        rot = np.asarray(rot, np.float64)
-        ry = (rot.shape[0] - CROP_SIZE[0]) // 2
-        rx = (rot.shape[1] - CROP_SIZE[1]) // 2
-        region = rot[ry : ry + CROP_SIZE[0], rx : rx + CROP_SIZE[1]]
-    else:
-        region = img[
-            y0 : y0 + CROP_SIZE[0], x0 : x0 + CROP_SIZE[1]
-        ].astype(np.float64)
-    lo, hi = region.min(), region.max()
-    region = (region - lo) / max(hi - lo, 1e-6) * 255.0
-    return region.astype(np.uint8)
+# NOTE (round-3 parity history): hand-modeled training-crop distributions
+# all under-performed at least one pipeline mode — PIL rotate-pair and blur
+# augmentations regressed both modes; GT-center + uniform-jitter crops
+# through the real crop kernel left a train/test mismatch against the loc
+# model's actual (correlated, non-uniform) error. The durable fix below is
+# the reference's own recipe: build the training crops WITH THE TRAINED
+# LOCALIZATION MODEL through the real pipeline crop stage
+# (SeriesCropPipeline = the same loc->angles->crop_ivd_regions graph
+# inference runs), in both crop modes (reference
+# datasets/classification/spider.py:114-178 + cropping.py:444-483).
 
 
 def _write_loc_dataset(root: Path, rng: np.random.Generator, n_images: int) -> None:
@@ -156,25 +125,48 @@ def _write_loc_dataset(root: Path, rng: np.random.Generator, n_images: int) -> N
         writer.writerows(rows)
 
 
-def _write_cls_dataset(root: Path, rng: np.random.Generator, n_patients: int) -> None:
+def _write_cls_dataset(
+    root: Path,
+    rng: np.random.Generator,
+    n_patients: int,
+    crop_pipelines: dict[str, Any],
+) -> None:
+    """Build the classification training set the way the reference does:
+    render full slices, then run them through the REAL loc->crop pipeline
+    stage (``SeriesCropPipeline`` with the just-trained localization model)
+    so training crops carry the loc model's true error distribution and the
+    crop kernel's exact resampling. Crop modes alternate per patient
+    (both series of a patient share a mode, as at inference) so one
+    classifier covers both pipeline distributions 50/50."""
     from PIL import Image
 
     (root / "images").mkdir(parents=True)
-    h, w = SLICE_HW
-    rows = []
+    slices: dict[str, list[np.ndarray]] = {m: [] for m in crop_pipelines}
+    meta: dict[str, list[tuple[str, str, np.ndarray, np.ndarray]]] = {
+        m: [] for m in crop_pipelines
+    }
+    modes = sorted(crop_pipelines)
     for p in range(n_patients):
         pid = f"pp{p:03d}"
         grades = rng.integers(1, 6, size=5)
         herns = rng.integers(0, 2, size=5)
+        mode = modes[p % len(modes)]
         for series in ("sag_t1", "sag_t2"):
-            img, coords = _render_slice(rng, grades, herns)
+            img, _coords = _render_slice(rng, grades, herns)
+            slices[mode].append(img)
+            meta[mode].append((pid, series, grades, herns))
+
+    rows = []
+    for mode, pipeline in crop_pipelines.items():
+        if not slices[mode]:
+            continue
+        _coords, _angles, crops = pipeline.run(
+            slices[mode], [(1.0, 1.0)] * len(slices[mode])
+        )
+        for (pid, series, grades, herns), crop_set in zip(meta[mode], crops):
             for lvl in (1, 2, 3, 4, 5):
-                x_norm, y_norm = coords[lvl - 1]
-                crop = _window_crop(
-                    img, int(x_norm * w), int(y_norm * h), rng
-                )
                 name = f"images/{pid}_L{lvl}_{series}.png"
-                Image.fromarray(crop).save(root / name)
+                Image.fromarray(crop_set[lvl - 1]).save(root / name)
                 rows.append(
                     {
                         "image_path": name,
@@ -205,13 +197,14 @@ def run_parity(
     cls_epochs: int = 16,
     n_loc_images: int = 96,
     n_cls_patients: int = 120,
-    n_heldout_studies: int = 16,
+    n_heldout_studies: int = 24,
 ) -> dict[str, Any]:
     """Run the full parity suite; returns (and writes) the metric record."""
     import jax
     import jax.numpy as jnp
 
     from spine_vision_tpu.infer import (
+        SeriesCropPipeline,
         StudyInferencePipeline,
         StudyInput,
         StudyPipelineConfig,
@@ -263,8 +256,29 @@ def run_parity(
     logger.info("parity loc: MED %.4f (threshold 0.06)", record["loc_med"])
 
     # ------------------------------------------------------------------ cls
+    def _vars(state: Any) -> dict:
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        return variables
+
+    def _crop_cfg(mode: str) -> "StudyPipelineConfig":
+        return StudyPipelineConfig(
+            loc_image_size=LOC_SIZE,
+            crop_size=CROP_SIZE,
+            crop_delta_mm=CROP_DELTA_MM,
+            padded_hw=SLICE_HW,
+            crop_mode=mode,
+        )
+
+    crop_pipelines = {
+        mode: SeriesCropPipeline(
+            loc_trainer.model, _vars(loc_trainer.state), config=_crop_cfg(mode)
+        )
+        for mode in ("horizontal", "rotated")
+    }
     cls_root = output_dir / "cls_data"
-    _write_cls_dataset(cls_root, rng, n_cls_patients)
+    _write_cls_dataset(cls_root, rng, n_cls_patients, crop_pipelines)
     cls_config = ClassificationConfig(
         data_path=cls_root,
         output_path=output_dir / "cls_run",
@@ -299,19 +313,8 @@ def run_parity(
     logger.info("parity cls: F1 %.4f (threshold 0.85)", record["cls_f1"])
 
     # ---------------------------------------------------------- fused infer
-    pipeline_config = StudyPipelineConfig(
-        loc_image_size=LOC_SIZE,
-        crop_size=CROP_SIZE,
-        crop_delta_mm=CROP_DELTA_MM,
-        padded_hw=SLICE_HW,
-    )
+    pipeline_config = _crop_cfg("horizontal")
     tasks = get_tasks(["pfirrmann", "herniation"])
-    def _vars(state: Any) -> dict:
-        variables = {"params": state.params}
-        if state.batch_stats is not None:
-            variables["batch_stats"] = state.batch_stats
-        return variables
-
     pipeline = StudyInferencePipeline(
         loc_trainer.model,
         _vars(loc_trainer.state),
@@ -384,13 +387,7 @@ def run_parity(
         _vars(loc_trainer.state),
         cls_trainer.model,
         _vars(cls_trainer.state),
-        config=StudyPipelineConfig(
-            loc_image_size=LOC_SIZE,
-            crop_size=CROP_SIZE,
-            crop_delta_mm=CROP_DELTA_MM,
-            padded_hw=SLICE_HW,
-            crop_mode="rotated",
-        ),
+        config=_crop_cfg("rotated"),
         tasks=tasks,
     )
     rot_results = rotated_pipeline.run(studies)
