@@ -71,6 +71,12 @@ class StudyPipelineConfig:
     last_disc_angle_boost: float = 1.0
     num_levels: int = 5
     padded_hw: tuple[int, int] = (1024, 1024)
+    # Serving-shape stability: pad each batch of studies up to the next
+    # power of two so a varying request size reuses a handful of compiled
+    # graphs instead of retracing per distinct N (a remote TPU compile
+    # costs 30-300 s; the padded rows are dummy 1x1 slices and their
+    # results are sliced off). Set False for exact-N execution.
+    bucket_batches: bool = True
 
 
 @dataclass
@@ -341,8 +347,12 @@ class StudyInferencePipeline:
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         hp, wp = self.config.padded_hw
         n = len(studies)
+        if self.config.bucket_batches and n > 0:
+            n = 1 << (n - 1).bit_length()  # next power of two
         slices = np.zeros((n, 2, hp, wp), dtype=np.float32)
-        hw = np.zeros((n, 2, 2), dtype=np.int32)
+        # Dummy rows (beyond len(studies)) carry 1x1 extents so the masked
+        # normalize/resize stay finite; their outputs are sliced off.
+        hw = np.ones((n, 2, 2), dtype=np.int32)
         spacing = np.ones((n, 2, 2), dtype=np.float32)
         for i, study in enumerate(studies):
             for j, (sl, sp) in enumerate(

@@ -145,3 +145,23 @@ def test_pipeline_horizontal_mode_zero_angles():
     rng = np.random.default_rng(4)
     result = pipe.run(_synthetic_studies(1, rng))[0]
     np.testing.assert_array_equal(result.angles, np.zeros((2, 5)))
+
+
+def test_pipeline_batch_bucketing(tiny_pipeline):
+    """Serving-shape stability: different study counts inside the same
+    power-of-two bucket reuse one compiled graph, and padded dummy rows
+    do not perturb real results."""
+    rng = np.random.default_rng(7)
+    studies = _synthetic_studies(4, rng)
+
+    before = tiny_pipeline._run._cache_size()
+    r3 = tiny_pipeline.run(studies[:3])  # buckets to 4
+    r4 = tiny_pipeline.run(studies)      # exactly 4
+    assert len(r3) == 3 and len(r4) == 4
+    for a, b in zip(r3, r4[:3]):
+        np.testing.assert_array_equal(a.crops, b.crops)
+        np.testing.assert_allclose(a.coords, b.coords, rtol=1e-5)
+        for k in a.logits:
+            np.testing.assert_allclose(a.logits[k], b.logits[k], rtol=1e-4, atol=1e-5)
+    # Both calls hit the same jit cache entry (N padded to 4).
+    assert tiny_pipeline._run._cache_size() == before + 1
