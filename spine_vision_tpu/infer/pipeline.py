@@ -246,9 +246,13 @@ class SeriesCropPipeline:
             (coords [M, L, 2], angles [M, L], crops [M, L, ch, cw] uint8).
         """
         hp, wp = self.config.padded_hw
-        m = len(slices)
+        n_real = len(slices)
+        m = n_real
+        if self.config.bucket_batches and m > 0:
+            m = 1 << (m - 1).bit_length()  # serving-shape stability (see config)
         flat = np.zeros((m, hp, wp), dtype=np.float32)
-        hw = np.zeros((m, 2), dtype=np.int32)
+        # Dummy rows carry 1x1 extents so the masked normalize stays finite.
+        hw = np.ones((m, 2), dtype=np.int32)
         for i, sl in enumerate(slices):
             arr = np.asarray(sl, dtype=np.float32)
             h, w = arr.shape
@@ -258,7 +262,8 @@ class SeriesCropPipeline:
                 )
             flat[i, :h, :w] = arr
             hw[i] = (h, w)
-        spacing = np.asarray(spacings, dtype=np.float32)
+        spacing = np.ones((m, 2), dtype=np.float32)
+        spacing[:n_real] = np.asarray(spacings, dtype=np.float32)
         centers = np.broadcast_to(
             DEFAULT_IVD_CENTERS_XY[None], (m, self.config.num_levels, 2)
         ).copy()
@@ -270,9 +275,9 @@ class SeriesCropPipeline:
             jnp.asarray(centers),
         )
         return (
-            np.asarray(jax.device_get(coords)),
-            np.asarray(jax.device_get(angles)),
-            np.asarray(jax.device_get(crops)),
+            np.asarray(jax.device_get(coords))[:n_real],
+            np.asarray(jax.device_get(angles))[:n_real],
+            np.asarray(jax.device_get(crops))[:n_real],
         )
 
 
