@@ -117,6 +117,32 @@ def _build_parser() -> argparse.ArgumentParser:
     infer.add_argument("--output-json", default=None)
     infer.add_argument("-v", "--verbose", action="store_true")
 
+    serve = commands.add_parser(
+        "serve",
+        help="Batch-serving daemon: drain request JSONs through the fused "
+        "study pipeline",
+    )
+    serve.add_argument("--loc-checkpoint", required=True)
+    serve.add_argument("--cls-checkpoint", required=True)
+    serve.add_argument(
+        "--watch-dir", required=True,
+        help='Directory receiving {"study_id","t1","t2"} request JSON files',
+    )
+    serve.add_argument("--output-dir", required=True)
+    serve.add_argument("--loc-backbone", default="convnext_base")
+    serve.add_argument("--cls-backbone", default="resnet18")
+    serve.add_argument(
+        "--crop-mode", choices=["horizontal", "rotated"], default="horizontal"
+    )
+    serve.add_argument("--padded-hw", nargs=2, type=int, default=[1024, 1024])
+    serve.add_argument("--max-batch", type=int, default=16)
+    serve.add_argument("--poll-interval", type=float, default=0.5)
+    serve.add_argument(
+        "--once", action="store_true",
+        help="Drain the current backlog and exit (batch-job mode)",
+    )
+    serve.add_argument("-v", "--verbose", action="store_true")
+
     commands.add_parser("bench", help="Run the benchmark harness")
 
     parity = commands.add_parser(
@@ -274,6 +300,38 @@ def cli(argv: list[str] | None = None) -> int:
             logger.info("Wrote predictions to %s", args.output_json)
         else:
             print(text)
+        return 0
+
+    if args.command == "serve":
+        from pathlib import Path
+
+        from spine_vision_tpu.infer import (
+            StudyInferencePipeline,
+            StudyPipelineConfig,
+        )
+        from spine_vision_tpu.infer.serve import serve_directory
+
+        pipeline = StudyInferencePipeline.from_checkpoints(
+            loc_checkpoint=args.loc_checkpoint,
+            cls_checkpoint=args.cls_checkpoint,
+            loc_backbone=args.loc_backbone,
+            cls_backbone=args.cls_backbone,
+            config=StudyPipelineConfig(
+                crop_mode=args.crop_mode, padded_hw=tuple(args.padded_hw)
+            ),
+        )
+        stats = serve_directory(
+            pipeline,
+            Path(args.watch_dir),
+            Path(args.output_dir),
+            poll_interval=args.poll_interval,
+            max_batch=args.max_batch,
+            once=args.once,
+        )
+        logger.info(
+            "Serve loop done: %d processed, %d failed, %d batches",
+            stats.processed, stats.failed, stats.batches,
+        )
         return 0
 
     if args.command == "bench":

@@ -1,0 +1,145 @@
+"""Directory-watching batch server over the fused study pipeline.
+
+A production-serving wrapper the reference lacks (its nearest surface is
+the ad-hoc ``Model.test_inference``, reference training/models/base.py:83-166):
+requests are JSON files ``{"study_id": str, "t1": path, "t2": path}``
+dropped into a watch directory; the server drains the backlog in batches
+through ONE compiled fused graph (the pipeline's power-of-two bucketing
+keeps request-count variation from retracing), writes ``<study_id>.json``
+results (the same payload as ``spine-vision-tpu infer``), and moves each
+processed request file to ``done/`` — or to ``failed/`` with a sidecar
+error file when a request is malformed or its volumes cannot be read.
+
+The loop is synchronous by design: on TPU the fused graph is the
+throughput-bound stage and the host work (JSON + volume decode) overlaps
+poorly with nothing, so a single thread with batched draining is both the
+simplest and the fastest shape. ``once=True`` drains the current backlog
+and returns (used by tests and batch jobs); otherwise the loop polls until
+``stop_event`` is set.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+from spine_vision_tpu.core import logger
+from spine_vision_tpu.infer.pipeline import (
+    StudyInferencePipeline,
+    StudyInput,
+    study_input_from_paths,
+)
+
+
+@dataclass
+class ServeStats:
+    """Counters returned by :func:`serve_directory`."""
+
+    processed: int = 0
+    failed: int = 0
+    batches: int = 0
+    study_ids: list[str] = field(default_factory=list)
+
+
+def _result_payload(result: Any) -> dict:
+    return {
+        "study_id": result.study_id,
+        "coords": result.coords.tolist(),
+        "predictions": {k: v.tolist() for k, v in result.predictions.items()},
+        "probabilities": {
+            k: v.tolist() for k, v in result.probabilities.items()
+        },
+    }
+
+
+def _load_request(path: Path) -> StudyInput:
+    spec = json.loads(path.read_text())
+    if not isinstance(spec, dict) or "t1" not in spec or "t2" not in spec:
+        raise ValueError(f"request {path.name} must carry 't1' and 't2' paths")
+    return study_input_from_paths(
+        Path(spec["t1"]),
+        Path(spec["t2"]),
+        study_id=str(spec.get("study_id") or path.stem),
+    )
+
+
+def serve_directory(
+    pipeline: StudyInferencePipeline,
+    watch_dir: Path,
+    output_dir: Path,
+    poll_interval: float = 0.5,
+    max_batch: int = 16,
+    once: bool = False,
+    stop_event: Any = None,
+) -> ServeStats:
+    """Drain ``watch_dir/*.json`` requests through the fused pipeline.
+
+    Args:
+        pipeline: A constructed :class:`StudyInferencePipeline`.
+        watch_dir: Directory receiving request JSON files.
+        output_dir: Directory receiving ``<study_id>.json`` results.
+        poll_interval: Sleep between empty polls (seconds).
+        max_batch: Maximum studies per fused-graph call.
+        once: Drain the current backlog, then return.
+        stop_event: Optional ``threading.Event``-like; set to stop the loop.
+
+    Returns:
+        ServeStats with processed/failed counts.
+    """
+    watch_dir = Path(watch_dir)
+    output_dir = Path(output_dir)
+    done_dir = watch_dir / "done"
+    failed_dir = watch_dir / "failed"
+    for d in (watch_dir, output_dir, done_dir, failed_dir):
+        d.mkdir(parents=True, exist_ok=True)
+
+    stats = ServeStats()
+    while True:
+        requests = sorted(
+            (p for p in watch_dir.glob("*.json")),
+            key=lambda p: p.stat().st_mtime,
+        )[:max_batch]
+        if not requests:
+            if once or (stop_event is not None and stop_event.is_set()):
+                return stats
+            time.sleep(poll_interval)
+            continue
+
+        studies: list[StudyInput] = []
+        paths: list[Path] = []
+        for path in requests:
+            try:
+                studies.append(_load_request(path))
+                paths.append(path)
+            except Exception as exc:  # noqa: BLE001 — isolate bad requests
+                stats.failed += 1
+                (failed_dir / f"{path.stem}.error.txt").write_text(str(exc))
+                shutil.move(str(path), failed_dir / path.name)
+                logger.warning("Rejected request %s: %s", path.name, exc)
+
+        if studies:
+            start = time.perf_counter()
+            results = pipeline.run(studies)
+            elapsed = time.perf_counter() - start
+            stats.batches += 1
+            for path, result in zip(paths, results):
+                out_path = output_dir / f"{result.study_id}.json"
+                out_path.write_text(json.dumps(_result_payload(result), indent=2))
+                shutil.move(str(path), done_dir / path.name)
+                stats.processed += 1
+                stats.study_ids.append(result.study_id)
+            logger.info(
+                "Served batch of %d studies in %.1f ms (%.1f ms/study)",
+                len(studies),
+                elapsed * 1000.0,
+                elapsed * 1000.0 / len(studies),
+            )
+
+        if stop_event is not None and stop_event.is_set():
+            return stats
+        if once and not list(watch_dir.glob("*.json")):
+            return stats

@@ -165,3 +165,47 @@ def test_pipeline_batch_bucketing(tiny_pipeline):
             np.testing.assert_allclose(a.logits[k], b.logits[k], rtol=1e-4, atol=1e-5)
     # Both calls hit the same jit cache entry (N padded to 4).
     assert tiny_pipeline._run._cache_size() == before + 1
+
+
+def test_serve_directory_end_to_end(tiny_pipeline, tmp_path):
+    """The batch-serving loop: request JSONs + real volume files in, result
+    JSONs out, processed requests moved to done/, malformed to failed/."""
+    import json
+
+    from spine_vision_tpu.infer.serve import serve_directory
+    from spine_vision_tpu.io.types import MedicalImage
+    from spine_vision_tpu.io.writers import write_medical_image
+
+    rng = np.random.default_rng(9)
+    watch = tmp_path / "requests"
+    out = tmp_path / "results"
+    watch.mkdir()
+    for i in range(2):
+        vol = rng.normal(100, 30, (4, 80, 80)).astype(np.float32)
+        t1_path = tmp_path / f"t1_{i}.mha"
+        t2_path = tmp_path / f"t2_{i}.mha"
+        # 80 px at 0.45 mm -> 120 px at the 0.3 mm isotropic resample,
+        # inside the tiny pipeline's 128x128 slice buffer.
+        write_medical_image(
+            MedicalImage(array=vol, spacing=(0.45, 0.45, 3.0)), t1_path
+        )
+        write_medical_image(
+            MedicalImage(array=vol + 5, spacing=(0.45, 0.45, 3.0)), t2_path
+        )
+        (watch / f"req{i}.json").write_text(
+            json.dumps(
+                {"study_id": f"s{i}", "t1": str(t1_path), "t2": str(t2_path)}
+            )
+        )
+    (watch / "bad.json").write_text("{\"t1\": \"/nonexistent\"}")
+
+    stats = serve_directory(tiny_pipeline, watch, out, once=True)
+    assert stats.processed == 2 and stats.failed == 1
+    for i in range(2):
+        payload = json.loads((out / f"s{i}.json").read_text())
+        assert payload["study_id"] == f"s{i}"
+        assert np.asarray(payload["coords"]).shape == (2, 5, 2)
+        assert "pfirrmann" in payload["predictions"]
+        assert (watch / "done" / f"req{i}.json").exists()
+    assert (watch / "failed" / "bad.json").exists()
+    assert not list(watch.glob("*.json"))
