@@ -147,3 +147,33 @@ def test_nifti_fuzz_corrupt_bytes(tmp_path: Path):
                 assert out.array.ndim >= 2
             except _CLEAN_ERRORS:
                 pass
+
+
+@pytest.mark.parametrize("ext", ["mha", "nrrd"])
+def test_mha_nrrd_fuzz_corrupt_bytes(tmp_path: Path, ext: str):
+    from spine_vision_tpu.io.readers import read_medical_image
+
+    rng = np.random.default_rng(5)
+    img = MedicalImage(
+        array=rng.integers(0, 1000, size=(3, 10, 10)).astype(np.int16),
+        spacing=(1.0, 1.0, 2.0),
+    )
+    path = tmp_path / f"vol.{ext}"
+    write_medical_image(img, path, use_compression=False)
+    blob = path.read_bytes()
+    bad_path = tmp_path / f"bad.{ext}"
+    for trial in range(40):
+        bad_path.write_bytes(_flip_bytes(blob, rng, n_flips=1 + trial % 4))
+        with _deadline():
+            try:
+                out = read_medical_image(bad_path)
+                assert out.array.ndim >= 2
+            except _CLEAN_ERRORS:
+                pass
+    for cut in range(4, len(blob), max(1, len(blob) // 25)):
+        bad_path.write_bytes(blob[:cut])
+        with _deadline():
+            try:
+                read_medical_image(bad_path)
+            except _CLEAN_ERRORS:
+                pass
