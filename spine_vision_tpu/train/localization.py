@@ -336,6 +336,14 @@ class LocalizationTrainer(BaseTrainer[LocalizationConfig]):
                 augment=False,
                 seed=self.config.seed,
             )
+        if len(test_dataset) == 0:
+            # A tiny dataset can round the test fraction down to zero
+            # images; surface that instead of a bare concatenate error.
+            logger.warning(
+                "Test split is empty (dataset too small for the split "
+                "ratios) — no evaluation metrics."
+            )
+            return {}
         preds, targets, masks = self._collect_split(test_dataset)
         flat_p, flat_t, flat_l = self._flatten_with_mask(preds, targets, masks)
         metrics = self.metrics.compute(flat_p, flat_t, flat_l)

@@ -192,3 +192,39 @@ def test_localization_training_learns(dot_dataset, tmp_path):
     # epoch's loss must sit far below the cold run's first epoch.
     assert len(resumed_losses) == 5
     assert resumed_losses[-1] < losses[0] * 0.5
+
+
+def test_localization_evaluate_empty_test_split(dot_dataset, tmp_path):
+    """A dataset too small for the test fraction must evaluate to {} with a
+    warning, not crash on an empty concatenate (found driving a 16-image
+    TPU run)."""
+    config = LocalizationConfig(
+        data_path=dot_dataset,
+        output_path=tmp_path / "run",
+        backbone="resnet18",
+        pretrained=False,
+        image_size=(48, 48),
+        batch_size=8,
+        num_epochs=1,
+        early_stopping=False,
+        augment=False,
+        mixed_precision=False,
+        visualize_predictions=False,
+        num_workers=0,
+        val_split=0.2,
+    )
+    trainer = LocalizationTrainer(config)
+    trainer.train()
+    from spine_vision_tpu.data.datasets import LocalizationDataset
+
+    empty = LocalizationDataset(
+        data_path=dot_dataset,
+        split="test",
+        val_ratio=0.0,
+        test_ratio=0.0,
+        image_size=(48, 48),
+        augment=False,
+        seed=0,
+    )
+    assert len(empty) == 0
+    assert trainer.evaluate(empty) == {}
