@@ -10,7 +10,9 @@ surface the reference documents but does not implement):
     spine-vision-tpu train classification [options]
     spine-vision-tpu evaluate localization --checkpoint-path ...
     spine-vision-tpu evaluate classification --checkpoint-path ...
-    spine-vision-tpu bench
+    spine-vision-tpu test / infer / serve
+    spine-vision-tpu convert --checkpoint r18.pth --arch resnet18 --output r18.npz
+    spine-vision-tpu bench / parity / train-ocr
 
 Configs are pydantic models rendered to argparse options (config_args).
 """
@@ -142,6 +144,21 @@ def _build_parser() -> argparse.ArgumentParser:
         help="Drain the current backlog and exit (batch-job mode)",
     )
     serve.add_argument("-v", "--verbose", action="store_true")
+
+    convert = commands.add_parser(
+        "convert",
+        help="Convert a torch backbone checkpoint to the native .npz "
+        "artifact (consumed torch-free by --pretrained-path)",
+    )
+    convert.add_argument(
+        "--checkpoint", required=True, help="torch .pth/.pt state-dict file"
+    )
+    convert.add_argument(
+        "--arch", required=True,
+        help="Backbone name (models/backbone.py registry, e.g. resnet18)",
+    )
+    convert.add_argument("--output", required=True, help="Output .npz path")
+    convert.add_argument("-v", "--verbose", action="store_true")
 
     commands.add_parser("bench", help="Run the benchmark harness")
 
@@ -331,6 +348,16 @@ def cli(argv: list[str] | None = None) -> int:
         logger.info(
             "Serve loop done: %d processed, %d failed, %d batches",
             stats.processed, stats.failed, stats.batches,
+        )
+        return 0
+
+    if args.command == "convert":
+        from pathlib import Path
+
+        from spine_vision_tpu.models.convert import convert_checkpoint
+
+        convert_checkpoint(
+            Path(args.checkpoint), args.arch, Path(args.output)
         )
         return 0
 

@@ -1,5 +1,10 @@
 """Datasets and input pipeline: loaders, datasets, stratification, levels."""
 
+from spine_vision_tpu.data.cache import (
+    PackedDataset,
+    build_packed_cache,
+    packed_view,
+)
 from spine_vision_tpu.data.datasets import (
     ClassificationDataset,
     LocalizationDataset,
@@ -37,11 +42,14 @@ __all__ = [
     "ClassificationDataset",
     "DataLoader",
     "LocalizationDataset",
+    "PackedDataset",
+    "build_packed_cache",
     "collate_classification",
     "collate_localization",
     "compute_inverse_frequency_weights",
     "construct_3channel",
     "default_collate",
+    "packed_view",
     "get_patient_multilabel_matrix",
     "get_patient_single_label",
     "iterative_multilabel_split",

@@ -657,3 +657,109 @@ def load_torch_backbone(
     if arch.startswith("mobilenetv3"):
         return convert_mobilenetv3_state_dict(raw)
     raise ValueError(f"No converter for architecture: {arch}")
+
+
+# ---------------------------------------------------------------------------
+# Native backbone artifact: a flat .npz holding the CONVERTED trees, so the
+# one-time torch dependency stays on the conversion machine and TPU training
+# hosts load pretrained weights torch-free (trainer._load_pretrained_backbone
+# accepts these directly). Keys are '/'-joined tree paths under 'params/'
+# and 'batch_stats/'; dtypes are preserved exactly.
+# ---------------------------------------------------------------------------
+
+_NPZ_META_KEY = "__meta__/arch"
+
+
+def _flatten_tree(tree: Mapping[str, Any], prefix: str) -> dict[str, np.ndarray]:
+    flat: dict[str, np.ndarray] = {}
+    for key, value in tree.items():
+        path = f"{prefix}/{key}"
+        if isinstance(value, Mapping):
+            flat.update(_flatten_tree(value, path))
+        else:
+            flat[path] = np.asarray(value)
+    return flat
+
+
+def _unflatten_tree(flat: Mapping[str, np.ndarray]) -> dict:
+    tree: dict = {}
+    for key, value in flat.items():
+        parts = key.split("/")
+        node = tree
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = value
+    return tree
+
+
+def save_backbone_npz(
+    params: Mapping[str, Any],
+    batch_stats: Mapping[str, Any],
+    path: Path,
+    arch: str = "",
+) -> None:
+    """Write converted backbone trees as the native flat .npz artifact."""
+    flat = _flatten_tree(params, "params")
+    flat.update(_flatten_tree(batch_stats or {}, "batch_stats"))
+    if arch:
+        flat[_NPZ_META_KEY] = np.asarray(arch)
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(path, **flat)
+
+
+def load_backbone_npz(path: Path) -> tuple[dict, dict, str]:
+    """Load a native backbone artifact -> (params, batch_stats, arch)."""
+    with np.load(Path(path)) as data:
+        arch = ""
+        flat: dict[str, np.ndarray] = {}
+        for key in data.files:
+            if key == _NPZ_META_KEY:
+                arch = str(data[key])
+            else:
+                flat[key] = data[key]
+    tree = _unflatten_tree(flat)
+    return tree.get("params", {}), tree.get("batch_stats", {}), arch
+
+
+def convert_checkpoint(
+    checkpoint_path: Path, arch: str, output_path: Path
+) -> Path:
+    """One-shot torch .pth/.pt -> native .npz conversion (CLI `convert`).
+
+    The produced artifact is consumed torch-free by
+    ``TrainingConfig.pretrained_path`` and ``load_pretrained_backbone``.
+    """
+    params, stats = load_torch_backbone(Path(checkpoint_path), arch)
+    save_backbone_npz(params, stats, Path(output_path), arch=arch)
+    n = sum(
+        int(np.prod(x.shape)) for x in _flatten_tree(params, "params").values()
+    )
+    logger.info(
+        "Converted %s (%s, %d params) -> %s",
+        checkpoint_path,
+        arch,
+        n,
+        output_path,
+    )
+    return Path(output_path)
+
+
+def load_pretrained_backbone(path: Path, arch: str) -> tuple[dict, dict]:
+    """Load pretrained backbone trees from either artifact format.
+
+    ``.npz`` -> the native converted artifact (no torch import; the arch
+    recorded at conversion time must match when present). Anything else ->
+    a torch state-dict file converted on the fly via
+    :func:`load_torch_backbone`.
+    """
+    path = Path(path)
+    if path.suffix == ".npz":
+        params, stats, saved_arch = load_backbone_npz(path)
+        if saved_arch and arch and saved_arch != arch:
+            raise ValueError(
+                f"Backbone artifact {path} was converted for "
+                f"'{saved_arch}', not '{arch}'"
+            )
+        return params, stats
+    return load_torch_backbone(path, arch)

@@ -120,7 +120,7 @@ def depthwise_conv7x7(
         _make_dw_kernel(num_tiles),
         grid=(b * num_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # stays in HBM, DMA'd
+            pl.BlockSpec(memory_space=pl.ANY),  # stays in HBM, DMA'd
             pl.BlockSpec(
                 (KERNEL_SIZE * KERNEL_SIZE, c),
                 lambda g: (0, 0),
@@ -496,7 +496,7 @@ def _dw_ln_pallas(
         _make_dw_ln_kernel(num_tiles, eps),
         grid=(b * num_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
                 (KERNEL_SIZE * KERNEL_SIZE, c),
                 lambda g: (0, 0),

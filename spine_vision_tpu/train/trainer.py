@@ -120,6 +120,12 @@ class TrainingConfig(BaseConfig):
     (parallel.initialize_distributed; coordinator from the environment).
     The reference's equivalent is launching under ``accelerate launch``."""
     num_workers: int = 8
+    sample_cache_dir: Path | None = None
+    """Decode-once packed sample cache (data.cache). When set, train/val
+    datasets are materialized into mmap-backed column stores on first use
+    and later epochs stream them back without PNG decode — the host-input
+    analogue of TFRecord preprocessing. Safe because host ``__getitem__``
+    is deterministic (augmentations run on device)."""
     mixed_precision: bool = True
     """bf16 compute (TPU-native; replaces the reference's fp16 autocast)."""
 
@@ -238,6 +244,26 @@ class BaseTrainer(Generic[TConfig]):
                 f"batch_size={config.batch_size} not divisible by data-parallel "
                 f"size {self.mesh_ctx.data_axis_size}"
             )
+
+        if config.sample_cache_dir is not None:
+            from spine_vision_tpu.data.cache import packed_view
+
+            token = f"{type(train_dataset).__name__}:{config.seed}"
+            train_dataset = packed_view(
+                train_dataset,
+                Path(config.sample_cache_dir) / "train",
+                num_workers=config.num_workers,
+                fingerprint_token=token + ":train",
+            )
+            if val_dataset is not None and len(val_dataset) > 0:
+                val_dataset = packed_view(
+                    val_dataset,
+                    Path(config.sample_cache_dir) / "val",
+                    num_workers=config.num_workers,
+                    fingerprint_token=token + ":val",
+                )
+            self.train_dataset = train_dataset
+            self.val_dataset = val_dataset
 
         self.train_loader = DataLoader(
             train_dataset,
@@ -430,12 +456,14 @@ class BaseTrainer(Generic[TConfig]):
         )
 
     def _load_pretrained_backbone(self, path: Path) -> None:
-        """Replace the backbone subtree with offline-converted torch weights
-        (models.convert). Shapes are validated leaf-by-leaf."""
-        from spine_vision_tpu.models.convert import load_torch_backbone
+        """Replace the backbone subtree with offline-converted pretrained
+        weights (models.convert): a native .npz artifact (torch-free; made
+        by `spine-vision-tpu convert`) or a torch state-dict file converted
+        on the fly. Shapes are validated leaf-by-leaf."""
+        from spine_vision_tpu.models.convert import load_pretrained_backbone
 
         arch = getattr(self.config, "backbone", "")
-        params, stats = load_torch_backbone(Path(path), arch)
+        params, stats = load_pretrained_backbone(Path(path), arch)
         current = dict(self.state.params)
         if "backbone" not in current:
             raise ValueError("Model has no 'backbone' param subtree")

@@ -1,0 +1,120 @@
+"""Packed sample cache: exact roundtrip, reuse, staleness, loader integration."""
+
+import json
+
+import numpy as np
+import pytest
+
+from spine_vision_tpu.data.cache import (
+    PackedDataset,
+    build_packed_cache,
+    packed_view,
+)
+from spine_vision_tpu.data.loader import DataLoader
+
+
+class _SynthClsDataset:
+    """Shape-compatible with ClassificationDataset samples (uint8 image,
+    nested targets, metadata strings)."""
+
+    def __init__(self, n=12, size=16):
+        self.n = n
+        self.size = size
+        self.loads = 0  # decode-count probe
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, idx):
+        self.loads += 1
+        rng = np.random.default_rng(idx)
+        return {
+            "image": rng.integers(0, 255, (self.size, self.size, 3), np.uint8),
+            "targets": {
+                "pfirrmann": np.int32(idx % 5),
+                "herniation": np.asarray([float(idx % 2)], np.float32),
+            },
+            "level_idx": idx % 5,
+            "metadata": {"source": "synth", "patient_id": f"p{idx:03d}"},
+        }
+
+
+def _assert_sample_equal(got, want):
+    np.testing.assert_array_equal(got["image"], want["image"])
+    assert got["image"].dtype == np.uint8
+    np.testing.assert_array_equal(
+        got["targets"]["pfirrmann"], want["targets"]["pfirrmann"]
+    )
+    np.testing.assert_array_equal(
+        got["targets"]["herniation"], want["targets"]["herniation"]
+    )
+    assert got["targets"]["herniation"].dtype == np.float32
+    assert int(got["level_idx"]) == int(want["level_idx"])
+    assert got["metadata"] == want["metadata"]
+
+
+def test_roundtrip_exact(tmp_path):
+    ds = _SynthClsDataset()
+    build_packed_cache(ds, tmp_path / "c", num_workers=2)
+    packed = PackedDataset(tmp_path / "c")
+    assert len(packed) == len(ds)
+    for idx in range(len(ds)):
+        _assert_sample_equal(packed[idx], ds[idx])
+
+
+def test_packed_view_reuses_and_rebuilds(tmp_path):
+    ds = _SynthClsDataset()
+    packed_view(ds, tmp_path / "c", num_workers=2, fingerprint_token="a")
+    builds_after_first = ds.loads
+    assert builds_after_first >= len(ds)
+
+    # Reuse: only the fingerprint probe (sample 0) is decoded.
+    ds2 = _SynthClsDataset()
+    packed = packed_view(ds2, tmp_path / "c", num_workers=2, fingerprint_token="a")
+    assert ds2.loads == 1
+    _assert_sample_equal(packed[3], ds2[3])
+
+    # Token change -> stale -> rebuild.
+    ds3 = _SynthClsDataset()
+    packed_view(ds3, tmp_path / "c", num_workers=2, fingerprint_token="b")
+    assert ds3.loads >= len(ds3)
+
+    # Different length -> stale -> rebuild.
+    ds4 = _SynthClsDataset(n=8)
+    packed4 = packed_view(ds4, tmp_path / "c", num_workers=2, fingerprint_token="b")
+    assert len(packed4) == 8
+
+
+def test_corrupt_index_triggers_rebuild(tmp_path):
+    ds = _SynthClsDataset()
+    packed_view(ds, tmp_path / "c", num_workers=2)
+    (tmp_path / "c" / "index.json").write_text("{not json")
+    packed = packed_view(ds, tmp_path / "c", num_workers=2)
+    _assert_sample_equal(packed[0], ds[0])
+
+
+def test_shape_drift_raises(tmp_path):
+    class Drift(_SynthClsDataset):
+        def __getitem__(self, idx):
+            s = super().__getitem__(idx)
+            if idx == 5:
+                s["image"] = s["image"][:4]
+            return s
+
+    with pytest.raises(ValueError, match="field 'image'"):
+        build_packed_cache(Drift(), tmp_path / "c", num_workers=1)
+
+
+def test_loader_over_packed_dataset(tmp_path):
+    ds = _SynthClsDataset(n=16)
+    packed = packed_view(ds, tmp_path / "c", num_workers=2)
+    loader = DataLoader(packed, batch_size=4, shuffle=False, seed=0, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 4
+    b0 = batches[0]
+    assert b0["image"].shape == (4, 16, 16, 3) and b0["image"].dtype == np.uint8
+    assert b0["targets"]["pfirrmann"].shape == (4,)
+    assert b0["metadata"]["patient_id"][1] == "p001"
+    # Index metadata records field specs for tooling.
+    index = json.loads((tmp_path / "c" / "index.json").read_text())
+    assert index["fields"]["image"]["dtype"] == "uint8"

@@ -1259,3 +1259,39 @@ def test_swin_tiny_full_model_matches_torch_oracle():
         )
     )
     np.testing.assert_allclose(jax_out, torch_out, rtol=1e-4, atol=1e-4)
+
+
+def test_npz_artifact_roundtrip_and_torch_free_load(tmp_path):
+    """`spine-vision-tpu convert` path: torch .pth -> native .npz artifact,
+    loaded back leaf-exact with the recorded arch enforced."""
+    from spine_vision_tpu.models.convert import (
+        convert_checkpoint,
+        load_pretrained_backbone,
+    )
+
+    sd = _synth_resnet18_torch_sd()
+    pth = tmp_path / "r18.pth"
+    torch.save(sd, pth)
+    npz = tmp_path / "r18.npz"
+    convert_checkpoint(pth, "resnet18", npz)
+
+    params, stats = load_pretrained_backbone(npz, "resnet18")
+    ref_params, ref_stats = convert_resnet_state_dict(sd)
+    for got, want in (
+        (params, ref_params),
+        (stats, ref_stats),
+    ):
+        got_leaves = jax.tree_util.tree_leaves_with_path(got)
+        want_leaves = jax.tree_util.tree_leaves_with_path(want)
+        assert len(got_leaves) == len(want_leaves)
+        for (gp, gv), (wp, wv) in zip(got_leaves, want_leaves):
+            assert gp == wp
+            assert gv.dtype == np.asarray(wv).dtype
+            np.testing.assert_array_equal(gv, np.asarray(wv))
+
+    with pytest.raises(ValueError, match="converted for"):
+        load_pretrained_backbone(npz, "convnext_tiny")
+
+    # The torch-file path through the same entry point still works.
+    params2, _ = load_pretrained_backbone(pth, "resnet18")
+    assert _tree_shapes(params2) == _tree_shapes(ref_params)
