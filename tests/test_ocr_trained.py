@@ -5,7 +5,7 @@ PaddleOCR/VietOCR (reference datasets/phenikaa/ocr.py:24-145); the parity
 claim here is that the in-repo trained checkpoints
 (spine_vision_tpu/weights/ocr_{detector,recognizer}.npz, produced by
 `spine-vision-tpu train-ocr`: detector box recall 1.00, recognizer CER
-0.016 on held-out rendered lines) read a rendered Vietnamese report well
+0.006 on held-out rendered lines) read a rendered Vietnamese report well
 enough for the real field-extraction pipeline (detect -> rectify ->
 recognize -> fuzzy_value_extract) to recover name, birthday, and report
 ID with no test doubles anywhere.
@@ -72,7 +72,7 @@ def test_report_fields_extracted_from_degraded_page():
     scan-degraded page (mild profile: rotation/shear, JPEG artifacts,
     noise — synth.degrade_image). The shipped weights were trained with
     mild degradation mixed in and evaluated on the strictly-harsher
-    "hard" profile (CER 0.045, detector recall 0.988 — train-ocr)."""
+    "hard" profile (CER 0.029, detector recall 0.988 — train-ocr)."""
     from spine_vision_tpu.data.phenikaa import (
         BIRTHDAY_FIELD_PATTERN,
         NAME_FIELD_PATTERN,
