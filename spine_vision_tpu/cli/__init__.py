@@ -143,6 +143,11 @@ def _build_parser() -> argparse.ArgumentParser:
         "--once", action="store_true",
         help="Drain the current backlog and exit (batch-job mode)",
     )
+    serve.add_argument(
+        "--data-parallel", action="store_true",
+        help="Shard each request batch over ALL local devices (one fused "
+        "program, batch dim sharded; weights replicated)",
+    )
     serve.add_argument("-v", "--verbose", action="store_true")
 
     convert = commands.add_parser(
@@ -328,6 +333,14 @@ def cli(argv: list[str] | None = None) -> int:
         )
         from spine_vision_tpu.infer.serve import serve_directory
 
+        mesh = None
+        if args.data_parallel:
+            import jax as _jax
+            import numpy as np
+            from jax.sharding import Mesh
+
+            mesh = Mesh(np.asarray(_jax.devices()), ("data",))
+            logger.info("Serving data-parallel over %d devices", mesh.size)
         pipeline = StudyInferencePipeline.from_checkpoints(
             loc_checkpoint=args.loc_checkpoint,
             cls_checkpoint=args.cls_checkpoint,
@@ -336,6 +349,7 @@ def cli(argv: list[str] | None = None) -> int:
             config=StudyPipelineConfig(
                 crop_mode=args.crop_mode, padded_hw=tuple(args.padded_hw)
             ),
+            mesh=mesh,
         )
         stats = serve_directory(
             pipeline,

@@ -292,14 +292,36 @@ class StudyInferencePipeline:
         cls_variables: Any,
         config: StudyPipelineConfig | None = None,
         tasks: list[TaskConfig] | None = None,
+        mesh: Any | None = None,
     ) -> None:
+        """``mesh``: optional ``jax.sharding.Mesh`` — the study batch dim is
+        sharded over its FIRST axis (weights replicated), so one fused call
+        data-parallels over every device in the mesh. Results are gathered
+        for host decode; ``_pack`` pads the batch to a multiple of the axis
+        size. Serving-side scale-out the reference gets from one process per
+        GPU (Accelerate), done TPU-style: one program, sharded batch."""
         self.config = config or StudyPipelineConfig()
         self.loc_model = loc_model
         self.cls_model = cls_model
         self.loc_variables = loc_variables
         self.cls_variables = cls_variables
         self.tasks = tasks if tasks is not None else get_tasks()
-        self._run = jax.jit(self._fused)
+        self.mesh = mesh
+        if mesh is None:
+            self._batch_multiple = 1
+            self._run = jax.jit(self._fused)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            axis = mesh.axis_names[0]
+            self._batch_multiple = mesh.shape[axis]
+            batch = NamedSharding(mesh, PartitionSpec(axis))
+            replicated = NamedSharding(mesh, PartitionSpec())
+            self._run = jax.jit(
+                self._fused,
+                in_shardings=(replicated, replicated, batch, batch, batch),
+                out_shardings=replicated,
+            )
 
     # ------------------------------------------------------------------
     # The fused graph
@@ -354,6 +376,9 @@ class StudyInferencePipeline:
         n = len(studies)
         if self.config.bucket_batches and n > 0:
             n = 1 << (n - 1).bit_length()  # next power of two
+        if self._batch_multiple > 1 and n > 0:
+            m = self._batch_multiple
+            n = ((n + m - 1) // m) * m  # shardable across the mesh axis
         slices = np.zeros((n, 2, hp, wp), dtype=np.float32)
         # Dummy rows (beyond len(studies)) carry 1x1 extents so the masked
         # normalize/resize stay finite; their outputs are sliced off.
@@ -420,6 +445,7 @@ class StudyInferencePipeline:
         tasks: list[TaskConfig] | None = None,
         dtype: Any = jnp.bfloat16,
         use_pallas: bool | None = None,
+        mesh: Any | None = None,
     ) -> "StudyInferencePipeline":
         """Load both stages from orbax run dirs (train/checkpoint.py layout).
 
@@ -494,4 +520,5 @@ class StudyInferencePipeline:
             cls_state.variables(),
             config=config,
             tasks=task_list,
+            mesh=mesh,
         )

@@ -209,3 +209,54 @@ def test_serve_directory_end_to_end(tiny_pipeline, tmp_path):
         assert (watch / "done" / f"req{i}.json").exists()
     assert (watch / "failed" / "bad.json").exists()
     assert not list(watch.glob("*.json"))
+
+
+def test_pipeline_mesh_sharded_matches_single_device(tiny_pipeline):
+    """Data-parallel serving: the same fused graph jitted with the study
+    batch sharded over an 8-device mesh must reproduce the single-device
+    results (weights replicated; _pack pads the batch to the axis size)."""
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    sharded = StudyInferencePipeline(
+        tiny_pipeline.loc_model,
+        tiny_pipeline.loc_variables,
+        tiny_pipeline.cls_model,
+        tiny_pipeline.cls_variables,
+        config=tiny_pipeline.config,
+        mesh=mesh,
+    )
+    rng = np.random.default_rng(11)
+    studies = _synthetic_studies(5, rng)  # buckets to 8 = mesh size
+    base = tiny_pipeline.run(studies)
+    dp = sharded.run(studies)
+    assert len(dp) == 5
+    for a, b in zip(base, dp):
+        np.testing.assert_allclose(a.coords, b.coords, rtol=1e-5, atol=1e-6)
+        # Crops are uint8: rounding at bin edges may differ by 1 count.
+        assert np.mean(np.abs(a.crops.astype(int) - b.crops.astype(int)) > 1) < 1e-3
+        for k in a.logits:
+            np.testing.assert_allclose(
+                a.logits[k], b.logits[k], rtol=1e-4, atol=1e-4
+            )
+
+
+def test_pipeline_mesh_pads_to_axis_size(tiny_pipeline):
+    """A 3-study batch on an 8-device mesh pads to 8 rows and still decodes
+    exactly 3 results."""
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    sharded = StudyInferencePipeline(
+        tiny_pipeline.loc_model,
+        tiny_pipeline.loc_variables,
+        tiny_pipeline.cls_model,
+        tiny_pipeline.cls_variables,
+        config=tiny_pipeline.config,
+        mesh=mesh,
+    )
+    rng = np.random.default_rng(12)
+    slices, hw, spacing = sharded._pack(_synthetic_studies(3, rng))
+    assert slices.shape[0] == 8
+    results = sharded.run(_synthetic_studies(3, rng))
+    assert len(results) == 3
