@@ -51,6 +51,8 @@ class ClassificationDatasetConfig(BaseConfig):
 
     device_batch_size: int = 8
     """Series slices cropped per fused device dispatch."""
+    data_parallel: bool = False
+    """Shard each crop batch over ALL local devices (mesh data-parallel)."""
     padded_hw: tuple[int, int] = (1536, 1536)
     """Static slice buffer; isotropic 0.3 mm slices of lumbar MRI fit well
     within this."""
@@ -464,9 +466,17 @@ def _build_pipeline(config: ClassificationDatasetConfig) -> SeriesCropPipeline:
         last_disc_angle_boost=config.last_disc_angle_boost,
         padded_hw=config.padded_hw,
     )
+    mesh = None
+    if config.data_parallel:
+        import jax as _jax
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        mesh = Mesh(_np.asarray(_jax.devices()), ("data",))
+        logger.info("Cropping data-parallel over %d devices", mesh.size)
     if config.localization_model_path is None:
         logger.info("No localization model; using center fallback locations")
-        return SeriesCropPipeline(None, None, config=pipe_config)
+        return SeriesCropPipeline(None, None, config=pipe_config, mesh=mesh)
 
     import jax
     import jax.numpy as jnp
@@ -492,7 +502,7 @@ def _build_pipeline(config: ClassificationDatasetConfig) -> SeriesCropPipeline:
     state, _ = load_checkpoint(
         config.localization_model_path, state, restore_opt_state=False
     )
-    return SeriesCropPipeline(model, state.variables(), config=pipe_config)
+    return SeriesCropPipeline(model, state.variables(), config=pipe_config, mesh=mesh)
 
 
 def log_dataset_summary(records: Iterable[ClassificationRecord]) -> None:

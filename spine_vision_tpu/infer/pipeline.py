@@ -217,7 +217,10 @@ class SeriesCropPipeline:
         loc_model: CoordinateRegressor | None,
         loc_variables: Any,
         config: StudyPipelineConfig | None = None,
+        mesh: Any | None = None,
     ) -> None:
+        """``mesh``: optional ``jax.sharding.Mesh`` — slice batches are
+        sharded over its first axis (see StudyInferencePipeline)."""
         self.config = config or StudyPipelineConfig()
         self.loc_model = loc_model
         self.loc_variables = loc_variables
@@ -229,7 +232,21 @@ class SeriesCropPipeline:
                 centers_override=override,
             )
 
-        self._run = jax.jit(run)
+        if mesh is None:
+            self._batch_multiple = 1
+            self._run = jax.jit(run)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            axis = mesh.axis_names[0]
+            self._batch_multiple = mesh.shape[axis]
+            batch = NamedSharding(mesh, PartitionSpec(axis))
+            replicated = NamedSharding(mesh, PartitionSpec())
+            self._run = jax.jit(
+                run,
+                in_shardings=(replicated, batch, batch, batch, batch),
+                out_shardings=replicated,
+            )
 
     def run(
         self,
@@ -250,6 +267,9 @@ class SeriesCropPipeline:
         m = n_real
         if self.config.bucket_batches and m > 0:
             m = 1 << (m - 1).bit_length()  # serving-shape stability (see config)
+        if self._batch_multiple > 1 and m > 0:
+            mult = self._batch_multiple
+            m = ((m + mult - 1) // mult) * mult  # shardable across the mesh axis
         flat = np.zeros((m, hp, wp), dtype=np.float32)
         # Dummy rows carry 1x1 extents so the masked normalize stays finite.
         hw = np.ones((m, 2), dtype=np.int32)

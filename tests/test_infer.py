@@ -260,3 +260,32 @@ def test_pipeline_mesh_pads_to_axis_size(tiny_pipeline):
     assert slices.shape[0] == 8
     results = sharded.run(_synthetic_studies(3, rng))
     assert len(results) == 3
+
+
+def test_series_crop_pipeline_mesh_sharded():
+    """The dataset-build crop stage sharded over the 8-device mesh matches
+    the single-device pipeline (fallback-centers path, no loc model)."""
+    from jax.sharding import Mesh
+
+    from spine_vision_tpu.infer import SeriesCropPipeline
+
+    config = StudyPipelineConfig(
+        loc_image_size=(64, 64), crop_size=(32, 32), padded_hw=(128, 128)
+    )
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    base = SeriesCropPipeline(None, None, config=config)
+    dp = SeriesCropPipeline(None, None, config=config, mesh=mesh)
+
+    rng = np.random.default_rng(13)
+    slices = [
+        rng.normal(100, 30, (int(rng.integers(64, 128)), int(rng.integers(64, 128)))).astype(
+            np.float32
+        )
+        for _ in range(5)
+    ]
+    spacings = [(0.6, 0.6)] * 5
+    c0, a0, k0 = base.run(slices, spacings)
+    c1, a1, k1 = dp.run(slices, spacings)
+    np.testing.assert_allclose(c0, c1, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(a0, a1, rtol=1e-5, atol=1e-5)
+    assert np.mean(np.abs(k0.astype(int) - k1.astype(int)) > 1) < 1e-3
