@@ -30,38 +30,13 @@ matplotlib.use("Agg")
 import matplotlib.pyplot as plt
 import numpy as np
 
-from _synth import LEVEL_NAMES, add_cpu_flag, maybe_force_cpu, synth_spine_volume
-
-
-def load_regressor(backbone: str, checkpoint: Path | None, image_size):
-    import jax
-    import jax.numpy as jnp
-    import optax
-
-    from spine_vision_tpu.models import CoordinateRegressor
-
-    model = CoordinateRegressor(backbone_name=backbone)
-    h, w = image_size
-    variables = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)), train=False
-    )
-    if checkpoint is not None:
-        from spine_vision_tpu.train.checkpoint import load_checkpoint
-        from spine_vision_tpu.train.state import TrainState
-
-        state = TrainState.create(
-            params=variables["params"],
-            tx=optax.identity(),
-            batch_stats=variables.get("batch_stats"),
-        )
-        state, _ = load_checkpoint(checkpoint, state, restore_opt_state=False)
-        variables = {"params": state.params}
-        if state.batch_stats is not None:
-            variables["batch_stats"] = state.batch_stats
-        print(f"loaded checkpoint: {checkpoint}")
-    else:
-        print("NOTE: no --checkpoint given — using random weights (API demo only)")
-    return model, variables
+from _synth import (
+    LEVEL_NAMES,
+    add_cpu_flag,
+    load_regressor,
+    maybe_force_cpu,
+    synth_spine_volume,
+)
 
 
 def main() -> None:
@@ -95,15 +70,18 @@ def main() -> None:
     for path in paths:
         image = read_medical_image(path)
         middle, _spacing = extract_isotropic_middle_slice(image)
+        # Match the training input distribution: per-slice min-max to uint8
+        # (raw MR intensities would saturate the uint8 conversion inside
+        # the preprocessing).
+        display = np.asarray(normalize_to_uint8(middle))
         result = regressor_test_inference(
-            model, variables, [middle], image_size=tuple(args.image_size)
+            model, variables, [display], image_size=tuple(args.image_size)
         )
         coords = result["coordinates"][0]  # [5, 2] normalized (x, y)
         print(f"{path.name} ({result['inference_time_ms']:.1f} ms):")
         for name, (x, y) in zip(LEVEL_NAMES, coords):
             print(f"  {name}: ({x:.4f}, {y:.4f})")
 
-        display = np.asarray(normalize_to_uint8(middle))
         h, w = display.shape
         fig, ax = plt.subplots(figsize=(8, 10))
         ax.imshow(display, cmap="gray")

@@ -34,6 +34,7 @@ import numpy as np
 from _synth import (
     LEVEL_NAMES,
     add_cpu_flag,
+    load_regressor,
     maybe_force_cpu,
     spine_centers_xy,
     synth_spine_volume,
@@ -97,17 +98,12 @@ def main() -> None:
     if args.checkpoint is not None:
         from spine_vision_tpu.models.inference import regressor_test_inference
 
-        import importlib.util, sys
-        spec = importlib.util.spec_from_file_location(
-            "_loc_example", Path(__file__).parent / "02_localization_predict.py"
+        model, variables = load_regressor(args.backbone, args.checkpoint, (512, 512))
+        # Min-max to uint8 first — the model trains on normalized slices and
+        # raw MR intensities would saturate the preprocessing.
+        result = regressor_test_inference(
+            model, variables, [np.asarray(normalize_to_uint8(middle))]
         )
-        mod = importlib.util.module_from_spec(spec)
-        sys.modules["_loc_example"] = mod
-        spec.loader.exec_module(mod)
-        model, variables = mod.load_regressor(
-            args.backbone, args.checkpoint, (512, 512)
-        )
-        result = regressor_test_inference(model, variables, [middle])
         centers = np.asarray(result["coordinates"][0])
     else:
         centers = spine_centers_xy()

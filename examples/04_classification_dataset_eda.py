@@ -134,13 +134,21 @@ def main() -> None:
     fig.savefig(args.out_dir / "label_distributions.png", dpi=110)
     plt.close(fig)
 
-    # Correlation blocks (notebook cells 8-10).
+    # Correlation blocks (notebook cells 8-10). Constant columns have no
+    # rank variance (correlation undefined) — drop them rather than render
+    # NaN cells.
     for group, title, out in (
         (MODIC_GROUP, "Modic correlation", "modic_correlation.png"),
         (GENERAL_GROUP, "Disc pathology & Pfirrmann (Spearman)",
          "general_correlation.png"),
     ):
         names = [c for c in group if c in cols]
+        constant = [c for c in names if np.ptp(cols[c]) == 0]
+        if constant:
+            print(f"skipping constant column(s) in '{title}': {constant}")
+            names = [c for c in names if c not in constant]
+        if len(names) < 2:
+            continue
         fig = heatmap(spearman_matrix({c: cols[c] for c in names}), names, title)
         fig.savefig(args.out_dir / out, dpi=110)
         plt.close(fig)

@@ -101,10 +101,44 @@ def synth_spine_volume(out_path: Path, slices: int = 15, seed: int = 0):
         array=vol,
         spacing=(4.0, 0.6, 0.6),  # (x, y, z) mm — anisotropic like real MR
         origin=(0.0, 0.0, 0.0),
-        direction=np.eye(3),
+        # +z must point INFERIOR so the LPI-oriented middle slice keeps rows
+        # top-down and spine_centers_xy() marks the rendered discs (identity
+        # direction would make the orientation pass mirror the rows).
+        direction=np.diag([1.0, 1.0, -1.0]),
     )
     write_medical_image(image, out_path)
     return out_path
+
+
+def load_regressor(backbone: str, checkpoint: Path | None, image_size):
+    """A CoordinateRegressor + variables, restored from an orbax run dir
+    when ``checkpoint`` is given (random init otherwise — API demo only)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from spine_vision_tpu.models import CoordinateRegressor
+
+    model = CoordinateRegressor(backbone_name=backbone)
+    h, w = image_size
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)), train=False
+    )
+    if checkpoint is not None:
+        from spine_vision_tpu.train.checkpoint import load_checkpoint
+        from spine_vision_tpu.train.state import TrainState
+
+        state = TrainState.create(
+            params=variables["params"],
+            tx=optax.identity(),
+            batch_stats=variables.get("batch_stats"),
+        )
+        state, _ = load_checkpoint(checkpoint, state, restore_opt_state=False)
+        variables = state.variables()
+        print(f"loaded checkpoint: {checkpoint}")
+    else:
+        print("NOTE: no --checkpoint given — using random weights (API demo only)")
+    return model, variables
 
 
 def synth_classification_annotations(out_csv: Path, n_patients: int = 120) -> Path:

@@ -335,11 +335,9 @@ def cli(argv: list[str] | None = None) -> int:
 
         mesh = None
         if args.data_parallel:
-            import jax as _jax
-            import numpy as np
-            from jax.sharding import Mesh
+            from spine_vision_tpu.parallel import data_parallel_mesh
 
-            mesh = Mesh(np.asarray(_jax.devices()), ("data",))
+            mesh = data_parallel_mesh()
             logger.info("Serving data-parallel over %d devices", mesh.size)
         pipeline = StudyInferencePipeline.from_checkpoints(
             loc_checkpoint=args.loc_checkpoint,

@@ -468,11 +468,9 @@ def _build_pipeline(config: ClassificationDatasetConfig) -> SeriesCropPipeline:
     )
     mesh = None
     if config.data_parallel:
-        import jax as _jax
-        import numpy as _np
-        from jax.sharding import Mesh
+        from spine_vision_tpu.parallel import data_parallel_mesh
 
-        mesh = Mesh(_np.asarray(_jax.devices()), ("data",))
+        mesh = data_parallel_mesh()
         logger.info("Cropping data-parallel over %d devices", mesh.size)
     if config.localization_model_path is None:
         logger.info("No localization model; using center fallback locations")

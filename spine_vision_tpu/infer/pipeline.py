@@ -46,6 +46,10 @@ from spine_vision_tpu.ops.image import imagenet_normalize, resize_dynamic
 
 SERIES_ORDER = ("sag_t1", "sag_t2")  # index 0 = T1, 1 = T2
 
+
+def _round_up(n: int, multiple: int) -> int:
+    return ((n + multiple - 1) // multiple) * multiple
+
 # Approximate normalized (x, y) IVD centers L1/L2..L5/S1 used when no
 # localization model is available (reference cropping.py:28-34, 486-492).
 DEFAULT_IVD_CENTERS_XY = np.array(
@@ -236,17 +240,10 @@ class SeriesCropPipeline:
             self._batch_multiple = 1
             self._run = jax.jit(run)
         else:
-            from jax.sharding import NamedSharding, PartitionSpec
+            from spine_vision_tpu.parallel import batch_sharded_jit
 
-            axis = mesh.axis_names[0]
-            self._batch_multiple = mesh.shape[axis]
-            batch = NamedSharding(mesh, PartitionSpec(axis))
-            replicated = NamedSharding(mesh, PartitionSpec())
-            self._run = jax.jit(
-                run,
-                in_shardings=(replicated, batch, batch, batch, batch),
-                out_shardings=replicated,
-            )
+            self._batch_multiple = mesh.shape[mesh.axis_names[0]]
+            self._run = batch_sharded_jit(run, mesh, n_replicated=1, n_sharded=4)
 
     def run(
         self,
@@ -268,8 +265,7 @@ class SeriesCropPipeline:
         if self.config.bucket_batches and m > 0:
             m = 1 << (m - 1).bit_length()  # serving-shape stability (see config)
         if self._batch_multiple > 1 and m > 0:
-            mult = self._batch_multiple
-            m = ((m + mult - 1) // mult) * mult  # shardable across the mesh axis
+            m = _round_up(m, self._batch_multiple)  # shardable across the mesh
         flat = np.zeros((m, hp, wp), dtype=np.float32)
         # Dummy rows carry 1x1 extents so the masked normalize stays finite.
         hw = np.ones((m, 2), dtype=np.int32)
@@ -331,16 +327,11 @@ class StudyInferencePipeline:
             self._batch_multiple = 1
             self._run = jax.jit(self._fused)
         else:
-            from jax.sharding import NamedSharding, PartitionSpec
+            from spine_vision_tpu.parallel import batch_sharded_jit
 
-            axis = mesh.axis_names[0]
-            self._batch_multiple = mesh.shape[axis]
-            batch = NamedSharding(mesh, PartitionSpec(axis))
-            replicated = NamedSharding(mesh, PartitionSpec())
-            self._run = jax.jit(
-                self._fused,
-                in_shardings=(replicated, replicated, batch, batch, batch),
-                out_shardings=replicated,
+            self._batch_multiple = mesh.shape[mesh.axis_names[0]]
+            self._run = batch_sharded_jit(
+                self._fused, mesh, n_replicated=2, n_sharded=3
             )
 
     # ------------------------------------------------------------------
@@ -397,8 +388,7 @@ class StudyInferencePipeline:
         if self.config.bucket_batches and n > 0:
             n = 1 << (n - 1).bit_length()  # next power of two
         if self._batch_multiple > 1 and n > 0:
-            m = self._batch_multiple
-            n = ((n + m - 1) // m) * m  # shardable across the mesh axis
+            n = _round_up(n, self._batch_multiple)  # shardable across the mesh
         slices = np.zeros((n, 2, hp, wp), dtype=np.float32)
         # Dummy rows (beyond len(studies)) carry 1x1 extents so the masked
         # normalize/resize stay finite; their outputs are sliced off.

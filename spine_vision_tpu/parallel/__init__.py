@@ -3,8 +3,10 @@
 from spine_vision_tpu.parallel.mesh import (
     MeshContext,
     all_gather_host,
-    initialize_distributed,
+    batch_sharded_jit,
     batch_sharding,
+    data_parallel_mesh,
+    initialize_distributed,
     is_main_process,
     make_mesh,
     pad_to_multiple,
@@ -15,8 +17,10 @@ from spine_vision_tpu.parallel.mesh import (
 __all__ = [
     "MeshContext",
     "all_gather_host",
-    "initialize_distributed",
+    "batch_sharded_jit",
     "batch_sharding",
+    "data_parallel_mesh",
+    "initialize_distributed",
     "is_main_process",
     "make_mesh",
     "pad_to_multiple",

@@ -213,6 +213,32 @@ def shard_batch(ctx: MeshContext, batch: Any) -> Any:
     return ctx.shard_batch(batch)
 
 
+def data_parallel_mesh() -> Mesh:
+    """A pure data-parallel ``("data",)`` mesh over every local device
+    (the serving/dataset-build scale-out mesh)."""
+    return Mesh(np.asarray(jax.devices()), ("data",))
+
+
+def batch_sharded_jit(
+    fn: Any, mesh: Mesh, n_replicated: int, n_sharded: int
+) -> Any:
+    """jit ``fn`` for data-parallel execution over ``mesh``.
+
+    The first ``n_replicated`` positional args (weight pytrees) are
+    replicated; the following ``n_sharded`` args are sharded along the
+    mesh's FIRST axis (their leading dim must be a multiple of that axis
+    size); outputs are gathered to replicated for host decode.
+    """
+    axis = mesh.axis_names[0]
+    batch = NamedSharding(mesh, P(axis))
+    replicated = NamedSharding(mesh, P())
+    return jax.jit(
+        fn,
+        in_shardings=(replicated,) * n_replicated + (batch,) * n_sharded,
+        out_shardings=replicated,
+    )
+
+
 def all_gather_host(x: Any) -> np.ndarray:
     """Fetch a (possibly sharded) device array fully to host numpy.
 
