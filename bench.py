@@ -316,9 +316,54 @@ def bench_loc_forward() -> None:
     )
 
 
+def _backend_probe(timeout_s: float = 180.0) -> None:
+    """Fail fast (with a legible JSON line) if the device backend is dead.
+
+    A tunneled TPU backend can hang indefinitely at client init when the
+    tunnel is down; a blocked C call cannot be interrupted in-process, so
+    probe from a subprocess with a hard timeout before committing to the
+    real run. Skipped with BENCH_SKIP_PROBE=1.
+    """
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("BENCH_SKIP_PROBE"):
+        return
+    probe = (
+        "import jax, jax.numpy as jnp;"
+        "print(jax.default_backend(), float(jnp.sum(jnp.ones((2, 2)))))"
+    )
+    try:
+        result = subprocess.run(
+            [sys.executable, "-c", probe],
+            timeout=timeout_s,
+            capture_output=True,
+            text=True,
+        )
+        if result.returncode == 0:
+            return
+        reason = (result.stderr or result.stdout).strip()[-300:]
+    except subprocess.TimeoutExpired:
+        reason = f"backend probe hung > {timeout_s:.0f}s (tunnel down?)"
+    print(
+        json.dumps(
+            {
+                "metric": "study_e2e_latency_p50",
+                "value": None,
+                "unit": "ms/study",
+                "vs_baseline": None,
+                "error": f"device backend unavailable: {reason}",
+            }
+        )
+    )
+    raise SystemExit(1)
+
+
 if __name__ == "__main__":
     import os
 
+    _backend_probe()
     if os.environ.get("BENCH_METRIC") == "loc_forward":
         bench_loc_forward()
     else:
