@@ -10,12 +10,12 @@ results (the same payload as ``spine-vision-tpu infer``), and moves each
 processed request file to ``done/`` — or to ``failed/`` with a sidecar
 error file when a request is malformed or its volumes cannot be read.
 
-The loop is synchronous by design: on TPU the fused graph is the
-throughput-bound stage and the host work (JSON + volume decode) overlaps
-poorly with nothing, so a single thread with batched draining is both the
-simplest and the fastest shape. ``once=True`` drains the current backlog
-and returns (used by tests and batch jobs); otherwise the loop polls until
-``stop_event`` is set.
+Host IO overlaps device compute: volume decode + middle-slice extraction
+costs tens of ms per study — more than the ~7 ms/study fused graph — so a
+prefetch thread loads the NEXT batch while the device runs the current
+one. Batches are claimed by atomically renaming request files into
+``inflight/`` (so the prefetch can never double-pick), and orphaned
+inflight requests from a crashed server are re-queued at startup.
 """
 
 from __future__ import annotations
@@ -23,6 +23,7 @@ from __future__ import annotations
 import json
 import shutil
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any
@@ -67,6 +68,45 @@ def _load_request(path: Path) -> StudyInput:
     )
 
 
+@dataclass
+class _Batch:
+    """One claimed+decoded request batch (produced by the prefetch thread)."""
+
+    studies: list[StudyInput] = field(default_factory=list)
+    paths: list[Path] = field(default_factory=list)  # inflight paths, 1:1
+    failures: list[tuple[Path, str]] = field(default_factory=list)
+
+    def __bool__(self) -> bool:
+        return bool(self.studies or self.failures)
+
+
+def _claim_and_load(
+    watch_dir: Path, inflight_dir: Path, max_batch: int
+) -> _Batch:
+    """Atomically claim up to ``max_batch`` requests and decode their volumes.
+
+    Runs on the prefetch thread; claiming = renaming into ``inflight/``, so
+    a concurrent claim can never pick the same file (rename fails).
+    """
+    requests = sorted(
+        (p for p in watch_dir.glob("*.json")),
+        key=lambda p: p.stat().st_mtime,
+    )[:max_batch]
+    batch = _Batch()
+    for path in requests:
+        staged = inflight_dir / path.name
+        try:
+            path.rename(staged)
+        except OSError:
+            continue  # claimed elsewhere / vanished
+        try:
+            batch.studies.append(_load_request(staged))
+            batch.paths.append(staged)
+        except Exception as exc:  # noqa: BLE001 — isolate bad requests
+            batch.failures.append((staged, str(exc)))
+    return batch
+
+
 def serve_directory(
     pipeline: StudyInferencePipeline,
     watch_dir: Path,
@@ -94,52 +134,61 @@ def serve_directory(
     output_dir = Path(output_dir)
     done_dir = watch_dir / "done"
     failed_dir = watch_dir / "failed"
-    for d in (watch_dir, output_dir, done_dir, failed_dir):
+    inflight_dir = watch_dir / "inflight"
+    for d in (watch_dir, output_dir, done_dir, failed_dir, inflight_dir):
         d.mkdir(parents=True, exist_ok=True)
 
+    # Crash recovery: a previous server may have died with claimed-but-
+    # unprocessed requests; re-queue them.
+    for orphan in inflight_dir.glob("*.json"):
+        logger.warning("Re-queueing orphaned inflight request %s", orphan.name)
+        orphan.rename(watch_dir / orphan.name)
+
     stats = ServeStats()
-    while True:
-        requests = sorted(
-            (p for p in watch_dir.glob("*.json")),
-            key=lambda p: p.stat().st_mtime,
-        )[:max_batch]
-        if not requests:
-            if once or (stop_event is not None and stop_event.is_set()):
-                return stats
-            time.sleep(poll_interval)
-            continue
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        claim = lambda: _claim_and_load(watch_dir, inflight_dir, max_batch)  # noqa: E731
+        pending = pool.submit(claim)
+        while True:
+            batch = pending.result()
+            if not batch:
+                if once or (stop_event is not None and stop_event.is_set()):
+                    return stats
+                time.sleep(poll_interval)
+                pending = pool.submit(claim)
+                continue
 
-        studies: list[StudyInput] = []
-        paths: list[Path] = []
-        for path in requests:
-            try:
-                studies.append(_load_request(path))
-                paths.append(path)
-            except Exception as exc:  # noqa: BLE001 — isolate bad requests
+            # Prefetch the next batch while the device runs this one.
+            pending = pool.submit(claim)
+
+            for path, err in batch.failures:
                 stats.failed += 1
-                (failed_dir / f"{path.stem}.error.txt").write_text(str(exc))
+                (failed_dir / f"{path.stem}.error.txt").write_text(err)
                 shutil.move(str(path), failed_dir / path.name)
-                logger.warning("Rejected request %s: %s", path.name, exc)
+                logger.warning("Rejected request %s: %s", path.name, err)
 
-        if studies:
-            start = time.perf_counter()
-            results = pipeline.run(studies)
-            elapsed = time.perf_counter() - start
-            stats.batches += 1
-            for path, result in zip(paths, results):
-                out_path = output_dir / f"{result.study_id}.json"
-                out_path.write_text(json.dumps(_result_payload(result), indent=2))
-                shutil.move(str(path), done_dir / path.name)
-                stats.processed += 1
-                stats.study_ids.append(result.study_id)
-            logger.info(
-                "Served batch of %d studies in %.1f ms (%.1f ms/study)",
-                len(studies),
-                elapsed * 1000.0,
-                elapsed * 1000.0 / len(studies),
-            )
+            if batch.studies:
+                start = time.perf_counter()
+                results = pipeline.run(batch.studies)
+                elapsed = time.perf_counter() - start
+                stats.batches += 1
+                for path, result in zip(batch.paths, results):
+                    out_path = output_dir / f"{result.study_id}.json"
+                    out_path.write_text(
+                        json.dumps(_result_payload(result), indent=2)
+                    )
+                    shutil.move(str(path), done_dir / path.name)
+                    stats.processed += 1
+                    stats.study_ids.append(result.study_id)
+                logger.info(
+                    "Served batch of %d studies in %.1f ms (%.1f ms/study)",
+                    len(batch.studies),
+                    elapsed * 1000.0,
+                    elapsed * 1000.0 / len(batch.studies),
+                )
 
-        if stop_event is not None and stop_event.is_set():
-            return stats
-        if once and not list(watch_dir.glob("*.json")):
-            return stats
+            if stop_event is not None and stop_event.is_set():
+                # Clean shutdown: return the prefetched claim to the queue.
+                leftover = pending.result()
+                for path in leftover.paths + [p for p, _ in leftover.failures]:
+                    path.rename(watch_dir / path.name)
+                return stats

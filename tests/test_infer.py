@@ -289,3 +289,32 @@ def test_series_crop_pipeline_mesh_sharded():
     np.testing.assert_allclose(c0, c1, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(a0, a1, rtol=1e-5, atol=1e-5)
     assert np.mean(np.abs(k0.astype(int) - k1.astype(int)) > 1) < 1e-3
+
+
+def test_serve_requeues_orphaned_inflight(tiny_pipeline, tmp_path):
+    """A request abandoned in inflight/ by a crashed server is re-queued and
+    processed on the next serve_directory call."""
+    import json
+
+    from spine_vision_tpu.infer.serve import serve_directory
+    from spine_vision_tpu.io.types import MedicalImage
+    from spine_vision_tpu.io.writers import write_medical_image
+
+    rng = np.random.default_rng(21)
+    watch = tmp_path / "requests"
+    inflight = watch / "inflight"
+    inflight.mkdir(parents=True)
+    vol = rng.normal(100, 30, (4, 80, 80)).astype(np.float32)
+    t1, t2 = tmp_path / "t1.mha", tmp_path / "t2.mha"
+    write_medical_image(MedicalImage(array=vol, spacing=(0.45, 0.45, 3.0)), t1)
+    write_medical_image(MedicalImage(array=vol + 5, spacing=(0.45, 0.45, 3.0)), t2)
+    (inflight / "orphan.json").write_text(
+        json.dumps({"study_id": "orphan", "t1": str(t1), "t2": str(t2)})
+    )
+
+    out = tmp_path / "results"
+    stats = serve_directory(tiny_pipeline, watch, out, once=True)
+    assert stats.processed == 1
+    assert (out / "orphan.json").exists()
+    assert (watch / "done" / "orphan.json").exists()
+    assert not list(inflight.glob("*.json"))
