@@ -301,11 +301,18 @@ class _CropBatcher:
         output_images_path: Path,
         batch_size: int,
     ) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
         self.pipeline = pipeline
         self.output_images_path = output_images_path
         self.batch_size = batch_size
         self.queue: list[_SeriesWork] = []
         self.records: list[ClassificationRecord] = []
+        # PNG encoding of batch N overlaps the device crop of batch N+1
+        # (one writer thread keeps record order deterministic); records are
+        # read only after finish().
+        self._writer = ThreadPoolExecutor(max_workers=1)
+        self._writes: list = []
 
     def add(self, work: _SeriesWork) -> None:
         self.queue.append(work)
@@ -315,13 +322,16 @@ class _CropBatcher:
     def flush(self) -> None:
         if not self.queue:
             return
-        from PIL import Image
-
         batch = self.queue
         self.queue = []
         _, _, crops = self.pipeline.run(
             [w.slice_2d for w in batch], [w.spacing for w in batch]
         )
+        self._writes.append(self._writer.submit(self._write_batch, batch, crops))
+
+    def _write_batch(self, batch: list, crops: Any) -> None:
+        from PIL import Image
+
         for work, series_crops in zip(batch, crops):
             for ivd_level, label_row in work.levels.items():
                 crop = series_crops[ivd_level - 1]
@@ -340,6 +350,14 @@ class _CropBatcher:
                         work.source,
                     )
                 )
+
+    def finish(self) -> None:
+        """Flush the queue and wait for all pending PNG writes."""
+        self.flush()
+        for future in self._writes:
+            future.result()  # surface writer exceptions
+        self._writes = []
+        self._writer.shutdown(wait=True)
 
 
 def process_spider(
@@ -551,7 +569,7 @@ def create_classification_dataset(
         queued += process_phenikaa(config, batcher, existing_image_paths)
     if config.include_spider:
         queued += process_spider(config, batcher, existing_image_paths)
-    batcher.flush()
+    batcher.finish()
 
     all_records = recovered + batcher.records
     if all_records:

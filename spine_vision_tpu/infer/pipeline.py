@@ -108,10 +108,17 @@ def study_input_from_paths(
     with the classification dataset builder so training-time and
     inference-time preparation cannot diverge.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from spine_vision_tpu.io.series import prepare_series_slice
 
-    t1_slice, t1_spacing = prepare_series_slice(t1_path)
-    t2_slice, t2_spacing = prepare_series_slice(t2_path)
+    # The two series decode independently; on a multi-core host this halves
+    # the per-study host latency (numpy decode releases the GIL in its
+    # copy/BLAS-heavy parts).
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        t1_future = pool.submit(prepare_series_slice, t1_path)
+        t2_slice, t2_spacing = prepare_series_slice(t2_path)
+        t1_slice, t1_spacing = t1_future.result()
     return StudyInput(
         t1_slice=t1_slice,
         t2_slice=t2_slice,
