@@ -1,8 +1,12 @@
 """In-model ConvNeXt-base@512 b32: chained fwd and fwd+bwd for each
-use_pallas config (False | "mlp" | True=megakernel)."""
+use_pallas config (False | "mlp" | True=megakernel).
+
+BENCH_BATCH overrides the batch size (default 32, the reference envelope)
+to probe batch-scaling headroom."""
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from pathlib import Path
@@ -13,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BATCH = 32
+BATCH = int(os.environ.get("BENCH_BATCH", 32))
 SIZE = 512
 ITERS = 10
 
