@@ -96,8 +96,24 @@ def load_checkpoint(
             restored = checkpointer.restore(path, abstract)
         else:
             # No template: restore with the on-disk structure (whatever
-            # optimizer trained it) and take only the model state.
-            restored = checkpointer.restore(path)
+            # optimizer trained it) and take only the model state. Build
+            # the abstract tree from the checkpoint's own metadata but with
+            # CURRENT-device sharding — a bare restore would try to rebuild
+            # the shardings of the machine that saved it, so a checkpoint
+            # trained on an 8-device mesh could never load on a single
+            # inference chip.
+            sharding = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+
+            def _abstract(meta: Any) -> Any:
+                shape = getattr(meta, "shape", None)
+                dtype = getattr(meta, "dtype", None)
+                if shape is None or dtype is None:
+                    return meta  # non-array leaf: keep as-is
+                return jax.ShapeDtypeStruct(shape, dtype, sharding=sharding)
+
+            meta_tree = checkpointer.metadata(path).item_metadata.tree
+            abstract = jax.tree_util.tree_map(_abstract, meta_tree)
+            restored = checkpointer.restore(path, abstract)
 
     dropout_key = restored["dropout_key"]
     if jax.dtypes.issubdtype(state_template.dropout_key.dtype, jax.dtypes.prng_key):

@@ -228,3 +228,84 @@ def test_localization_evaluate_empty_test_split(dot_dataset, tmp_path):
     )
     assert len(empty) == 0
     assert trainer.evaluate(empty) == {}
+
+
+def test_checkpoint_restores_on_different_topology(tmp_path):
+    """A checkpoint saved under the 8-device mesh must restore on a
+    single-device host (train on a pod -> infer on one chip). The
+    template-free load path (restore_opt_state=False) used to rebuild the
+    SAVING machine's shardings and fail."""
+    import subprocess
+    import sys
+    import textwrap
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from spine_vision_tpu.models import CoordinateRegressor
+    from spine_vision_tpu.train.checkpoint import save_checkpoint
+    from spine_vision_tpu.train.state import TrainState
+
+    model = CoordinateRegressor(backbone_name="resnet18", dtype=jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False
+    )
+    # Replicate the state across all 8 devices (what the DP trainer holds).
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8, 1), ("data", "model"))
+    replicated = NamedSharding(mesh, PartitionSpec())
+    state = TrainState.create(
+        params=jax.device_put(variables["params"], replicated),
+        tx=optax.adamw(1e-3),
+        batch_stats=jax.device_put(variables.get("batch_stats"), replicated),
+        seed=0,
+    )
+    ckpt = tmp_path / "best_model"
+    save_checkpoint(ckpt, state, {"epoch": 1})
+
+    worker = textwrap.dedent(
+        f"""
+        import os
+        os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        assert jax.device_count() == 1, jax.devices()
+        import jax.numpy as jnp
+        import optax
+        from spine_vision_tpu.models import CoordinateRegressor
+        from spine_vision_tpu.train.checkpoint import load_checkpoint
+        from spine_vision_tpu.train.state import TrainState
+
+        model = CoordinateRegressor(backbone_name="resnet18", dtype=jnp.float32)
+        variables = model.init(
+            jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3)), train=False
+        )
+        state = TrainState.create(
+            params=variables["params"],
+            tx=optax.identity(),
+            batch_stats=variables.get("batch_stats"),
+        )
+        state, meta = load_checkpoint(
+            r"{ckpt}", state, restore_opt_state=False
+        )
+        assert meta["epoch"] == 1, meta
+        out = model.apply(state.variables(), jnp.zeros((1, 32, 32, 3)), train=False)
+        print("RESTORED", float(jnp.sum(out)))
+        """
+    )
+    result = subprocess.run(
+        [sys.executable, "-c", worker],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        env={
+            k: v
+            for k, v in __import__("os").environ.items()
+            if not k.startswith(("XLA_", "JAX_"))
+        },
+    )
+    assert result.returncode == 0, result.stdout + result.stderr
+    assert "RESTORED" in result.stdout
