@@ -6,15 +6,14 @@ Usage: python scripts/trace_e2e.py [horizontal|rotated]
 
 from __future__ import annotations
 
-import glob
-import gzip
-import json
 import sys
 import tempfile
-from collections import defaultdict
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from _trace_utils import load_device_ops, print_top_ops
 
 import jax
 import jax.numpy as jnp
@@ -76,34 +75,12 @@ def main() -> None:
     with jax.profiler.trace(tmp):
         step()
 
-    path = sorted(glob.glob(f"{tmp}/plugins/profile/*/*.trace.json.gz"))[-1]
-    with gzip.open(path) as f:
-        data = json.load(f)
-    events = data["traceEvents"]
-    pid_names = {
-        e["pid"]: e["args"].get("name")
-        for e in events
-        if e.get("ph") == "M" and e.get("name") == "process_name"
-    }
-    device_pids = {p for p, n in pid_names.items() if n and "TPU" in n}
-
-    total = 0.0
-    by_name = defaultdict(float)
-    count = defaultdict(int)
-    for e in events:
-        if e.get("ph") == "X" and e.get("pid") in device_pids:
-            if e["name"].startswith("jit_"):
-                continue
-            by_name[e["name"]] += e["dur"] / 1000.0
-            count[e["name"]] += 1
-            total += e["dur"] / 1000.0
-
+    by_name, count, total = load_device_ops(tmp)
     print(
         f"mode={mode} device-op total {total:.2f} ms for {N_STUDIES} studies "
         f"({total / N_STUDIES:.2f} ms/study device time)"
     )
-    for name, dur in sorted(by_name.items(), key=lambda kv: -kv[1])[:40]:
-        print(f"{dur:9.3f} ms  x{count[name]:4d}  {name[:90]}")
+    print_top_ops(by_name, count, top=40)
     print("trace dir:", tmp)
 
 

@@ -10,15 +10,14 @@ way to find train-step hotspots.
 
 from __future__ import annotations
 
-import glob
-import gzip
-import json
 import sys
 import tempfile
-from collections import defaultdict
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from _trace_utils import load_device_ops
 
 import jax
 import jax.numpy as jnp
@@ -78,29 +77,7 @@ def main() -> None:
     with jax.profiler.trace(tmp):
         float(chained(variables, x))
 
-    path = sorted(glob.glob(f"{tmp}/plugins/profile/*/*.trace.json.gz"))[-1]
-    with gzip.open(path) as f:
-        data = json.load(f)
-    events = data["traceEvents"]
-    pid_names = {
-        e["pid"]: e["args"].get("name")
-        for e in events
-        if e.get("ph") == "M" and e.get("name") == "process_name"
-    }
-    device_pids = {p for p, n in pid_names.items() if n and "TPU" in n}
-
-    total = 0.0
-    by_name = defaultdict(float)
-    count = defaultdict(int)
-    for e in events:
-        if e.get("ph") == "X" and e.get("pid") in device_pids:
-            # Skip the enclosing jit envelope events.
-            if e["name"].startswith("jit_"):
-                continue
-            by_name[e["name"]] += e["dur"] / 1000.0
-            count[e["name"]] += 1
-            total += e["dur"] / 1000.0
-
+    by_name, count, total = load_device_ops(tmp)
     per_iter = total / ITERS
     print(f"config={which} mode={mode} device-op total {total:.1f} ms "
           f"({per_iter:.1f} ms/iter, {BATCH / per_iter * 1000:.1f} img/s)")

@@ -322,6 +322,12 @@ class _CropBatcher:
     def flush(self) -> None:
         if not self.queue:
             return
+        # Surface a writer failure NOW rather than after hours of further
+        # decode/crop work: a done future with an exception re-raises here.
+        for future in self._writes:
+            if future.done():
+                future.result()
+        self._writes = [f for f in self._writes if not f.done()]
         batch = self.queue
         self.queue = []
         _, _, crops = self.pipeline.run(
@@ -353,11 +359,13 @@ class _CropBatcher:
 
     def finish(self) -> None:
         """Flush the queue and wait for all pending PNG writes."""
-        self.flush()
-        for future in self._writes:
-            future.result()  # surface writer exceptions
-        self._writes = []
-        self._writer.shutdown(wait=True)
+        try:
+            self.flush()
+            for future in self._writes:
+                future.result()  # surface writer exceptions
+            self._writes = []
+        finally:
+            self._writer.shutdown(wait=True)
 
 
 def process_spider(

@@ -111,9 +111,15 @@ def load_checkpoint(
                     return meta  # non-array leaf: keep as-is
                 return jax.ShapeDtypeStruct(shape, dtype, sharding=sharding)
 
-            meta_tree = checkpointer.metadata(path).item_metadata.tree
-            abstract = jax.tree_util.tree_map(_abstract, meta_tree)
-            restored = checkpointer.restore(path, abstract)
+            item_metadata = checkpointer.metadata(path).item_metadata
+            if item_metadata is None:
+                # No orbax metadata (older writer / external artifact):
+                # fall back to the bare restore, which works when the
+                # current topology matches the saving one.
+                restored = checkpointer.restore(path)
+            else:
+                abstract = jax.tree_util.tree_map(_abstract, item_metadata.tree)
+                restored = checkpointer.restore(path, abstract)
 
     dropout_key = restored["dropout_key"]
     if jax.dtypes.issubdtype(state_template.dropout_key.dtype, jax.dtypes.prng_key):
