@@ -318,3 +318,49 @@ def test_serve_requeues_orphaned_inflight(tiny_pipeline, tmp_path):
     assert (out / "orphan.json").exists()
     assert (watch / "done" / "orphan.json").exists()
     assert not list(inflight.glob("*.json"))
+
+
+def test_two_servers_share_one_watch_dir(tiny_pipeline, tmp_path):
+    """Two serve loops on the same watch directory: the atomic rename claim
+    guarantees each request is processed exactly once, so serving scales
+    out by just starting more servers."""
+    import json
+    import threading
+
+    from spine_vision_tpu.infer.serve import serve_directory
+    from spine_vision_tpu.io.types import MedicalImage
+    from spine_vision_tpu.io.writers import write_medical_image
+
+    rng = np.random.default_rng(31)
+    watch = tmp_path / "requests"
+    out = tmp_path / "results"
+    watch.mkdir()
+    n = 6
+    for i in range(n):
+        vol = rng.normal(100, 30, (4, 80, 80)).astype(np.float32)
+        t1, t2 = tmp_path / f"t1_{i}.mha", tmp_path / f"t2_{i}.mha"
+        write_medical_image(MedicalImage(array=vol, spacing=(0.45, 0.45, 3.0)), t1)
+        write_medical_image(MedicalImage(array=vol + 5, spacing=(0.45, 0.45, 3.0)), t2)
+        (watch / f"r{i}.json").write_text(
+            json.dumps({"study_id": f"s{i}", "t1": str(t1), "t2": str(t2)})
+        )
+
+    stats = [None, None]
+
+    def server(idx):
+        stats[idx] = serve_directory(
+            tiny_pipeline, watch, out, once=True, max_batch=2
+        )
+
+    threads = [threading.Thread(target=server, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert all(s is not None for s in stats)
+    assert stats[0].processed + stats[1].processed == n
+    assert stats[0].failed + stats[1].failed == 0
+    done = sorted(p.name for p in (watch / "done").glob("*.json"))
+    assert done == [f"r{i}.json" for i in range(n)]
+    for i in range(n):
+        assert (out / f"s{i}.json").exists()
