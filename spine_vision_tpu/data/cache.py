@@ -14,16 +14,37 @@ Layout (one directory per cache):
                         paths is encoded as '__' in filenames)
     metadata.json       list of the non-array remainder of each sample
 
+Consistency model: a rebuild writes fresh ``*.tmp`` files and atomically
+``os.replace``s them over the old ones (index.json last), so readers that
+already mmap'd the previous generation keep valid data (the old inodes
+live until their fds close) and never observe a half-written cache. An
+advisory ``flock`` on ``.lock`` serializes concurrent check/build/open
+across processes sharing the directory. Staleness is detected by a
+fingerprint of the sample count, every field's shape/dtype, a caller
+token, and content hashes of the first and last samples — editing labels
+or regenerating images in place is caught as long as it changes either
+probe sample; pass a differing ``fingerprint_token`` (or delete the dir)
+to force a rebuild otherwise.
+
+Known type normalizations vs the uncached dataset: scalar int/float/bool
+fields round-trip as 0-d numpy arrays, and the non-array remainder is
+JSON-normalized at build time (tuples become lists). The shipped collate
+fns are agnostic to both.
+
 This is the TPU-framework analogue of TFRecord/ArrayRecord preprocessing:
 build on first use, then the loader's thread pool only slices memmaps.
 """
 
 from __future__ import annotations
 
+import copy
+import hashlib
 import json
+import os
 from concurrent.futures import ThreadPoolExecutor
+from contextlib import contextmanager
 from pathlib import Path
-from typing import Any
+from typing import Any, Iterator
 
 import numpy as np
 
@@ -31,6 +52,7 @@ from spine_vision_tpu.core import logger
 
 _INDEX = "index.json"
 _META = "metadata.json"
+_LOCK = ".lock"
 
 
 def _flatten_arrays(
@@ -64,16 +86,76 @@ def _unflatten(flat: dict[str, Any]) -> dict[str, Any]:
     return tree
 
 
+def _merge_into(dst: dict[str, Any], src: dict[str, Any]) -> None:
+    """Deep-merge ``src`` into ``dst`` (array members of mixed subtrees must
+    survive the metadata merge — overwriting the whole subtree would drop
+    them)."""
+    for key, value in src.items():
+        if isinstance(value, dict) and isinstance(dst.get(key), dict):
+            _merge_into(dst[key], value)
+        else:
+            dst[key] = value
+
+
 def _field_file(cache_dir: Path, field: str) -> Path:
     return cache_dir / (field.replace("/", "__") + ".npy")
 
 
-def _fingerprint(n: int, specs: dict[str, dict], token: str) -> str:
+def _specs(sample: dict[str, Any]) -> dict[str, dict]:
+    """field -> {shape, dtype} from one sample (the cache schema)."""
+    arrays, _ = _flatten_arrays(sample)
+    return {
+        field: {"shape": list(arr.shape), "dtype": str(arr.dtype)}
+        for field, arr in arrays.items()
+    }
+
+
+def _content_hash(sample: dict[str, Any]) -> str:
+    """Order-independent digest of one sample's arrays + metadata."""
+    arrays, rest = _flatten_arrays(sample)
+    digest = hashlib.sha256()
+    for field in sorted(arrays):
+        digest.update(field.encode())
+        digest.update(np.ascontiguousarray(arrays[field]).tobytes())
+    digest.update(json.dumps(rest, sort_keys=True, default=str).encode())
+    return digest.hexdigest()[:16]
+
+
+def _fingerprint(
+    dataset: Any, first: dict[str, Any], specs: dict[str, dict], token: str
+) -> str:
+    n = len(dataset)
     parts = [str(n), token]
     for field in sorted(specs):
         spec = specs[field]
         parts.append(f"{field}:{spec['dtype']}:{tuple(spec['shape'])}")
+    # Content probes: first and last sample. Catches in-place label edits /
+    # regenerated images that keep count and shapes (the common staleness
+    # the spec-only fingerprint missed). ``first`` is passed in so the
+    # caller's already-decoded sample 0 isn't decoded twice.
+    parts.append(_content_hash(first))
+    if n > 1:
+        parts.append(_content_hash(dataset[n - 1]))
     return "|".join(parts)
+
+
+@contextmanager
+def _dir_lock(cache_dir: Path) -> Iterator[None]:
+    """Advisory exclusive lock serializing check/build/open across
+    processes sharing the cache directory."""
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    lock_path = cache_dir / _LOCK
+    fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
+    try:
+        try:
+            import fcntl
+
+            fcntl.flock(fd, fcntl.LOCK_EX)
+        except ImportError:  # non-POSIX: proceed unlocked
+            pass
+        yield
+    finally:
+        os.close(fd)
 
 
 class PackedDataset:
@@ -110,9 +192,10 @@ class PackedDataset:
             for field, arr in self.fields.items()
         }
         sample = _unflatten(flat)
-        rest = self.metadata[idx]
-        for key, value in rest.items():
-            sample[key] = value
+        # Deep-merge a COPY of the stored remainder: consumers may mutate
+        # their sample dict, and the stored metadata must stay pristine
+        # across epochs.
+        _merge_into(sample, copy.deepcopy(self.metadata[idx]))
         return sample
 
     def __getattr__(self, name: str) -> Any:
@@ -134,24 +217,33 @@ def build_packed_cache(
     num_workers: int = 8,
     fingerprint_token: str = "",
 ) -> Path:
-    """Materialize ``dataset`` into ``cache_dir`` (overwrites stale content).
+    """Materialize ``dataset`` into ``cache_dir``.
 
-    Every sample's array fields must share shapes/dtypes with sample 0
-    (true for this package's datasets: fixed output_size, fixed targets).
+    Every sample's array fields must match sample 0's field set and
+    shapes/dtypes (true for this package's datasets: fixed output_size,
+    fixed targets). Writes go to ``*.tmp`` files that are atomically
+    swapped in (index.json last), so concurrent readers of the previous
+    generation are never corrupted.
     """
     cache_dir = Path(cache_dir)
     cache_dir.mkdir(parents=True, exist_ok=True)
     n = len(dataset)
     if n == 0:
         raise ValueError("Cannot cache an empty dataset")
-    first_arrays, _ = _flatten_arrays(dataset[0])
-    specs = {
-        field: {"shape": list(arr.shape), "dtype": str(arr.dtype)}
-        for field, arr in first_arrays.items()
-    }
+    first = dataset[0]
+    specs = _specs(first)
+
+    filenames = {field: _field_file(cache_dir, field) for field in specs}
+    if len(set(filenames.values())) != len(filenames):
+        raise ValueError(
+            "Field names collide after '/'->'__' filename encoding: "
+            f"{sorted(specs)}"
+        )
+
+    tmp_suffix = f".tmp{os.getpid()}"
     mms = {
         field: np.lib.format.open_memmap(
-            _field_file(cache_dir, field),
+            str(filenames[field]) + tmp_suffix,
             mode="w+",
             dtype=np.dtype(spec["dtype"]),
             shape=(n, *spec["shape"]),
@@ -162,6 +254,13 @@ def build_packed_cache(
 
     def write_row(idx: int) -> None:
         arrays, rest = _flatten_arrays(dataset[idx])
+        extra = sorted(set(arrays) - set(mms))
+        missing = sorted(set(mms) - set(arrays))
+        if extra or missing:
+            raise ValueError(
+                f"Sample {idx} array fields differ from sample 0's: "
+                f"extra={extra} missing={missing}"
+            )
         for field, mm in mms.items():
             value = arrays[field]
             if value.shape != mm.shape[1:] or value.dtype != mm.dtype:
@@ -171,7 +270,14 @@ def build_packed_cache(
                     f"{mm.dtype}{mm.shape[1:]}"
                 )
             mm[idx] = value
-        metadata[idx] = rest
+        try:
+            # Normalize + validate NOW: a non-JSON-serializable remainder
+            # should name the sample, not fail after the full build.
+            metadata[idx] = json.loads(json.dumps(rest))
+        except TypeError as exc:
+            raise ValueError(
+                f"Sample {idx} metadata is not JSON-serializable: {exc}"
+            ) from exc
 
     with ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
         # list() propagates the first worker exception.
@@ -179,15 +285,24 @@ def build_packed_cache(
     for mm in mms.values():
         mm.flush()
 
-    with open(cache_dir / _META, "w") as f:
+    meta_tmp = cache_dir / (_META + tmp_suffix)
+    with open(meta_tmp, "w") as f:
         json.dump(metadata, f)
     index = {
         "n": n,
         "fields": specs,
-        "fingerprint": _fingerprint(n, specs, fingerprint_token),
+        "fingerprint": _fingerprint(dataset, first, specs, fingerprint_token),
     }
-    with open(cache_dir / _INDEX, "w") as f:
+    index_tmp = cache_dir / (_INDEX + tmp_suffix)
+    with open(index_tmp, "w") as f:
         json.dump(index, f, indent=1)
+
+    # Atomic swap: data files first, index last — a reader (under the dir
+    # lock) either sees the complete new generation or the complete old one.
+    for field in specs:
+        os.replace(str(filenames[field]) + tmp_suffix, filenames[field])
+    os.replace(meta_tmp, cache_dir / _META)
+    os.replace(index_tmp, cache_dir / _INDEX)
     logger.info(
         "Packed %d samples (%d fields) into %s", n, len(specs), cache_dir
     )
@@ -202,30 +317,35 @@ def packed_view(
 ) -> PackedDataset:
     """Return a PackedDataset for ``dataset``, building the cache if the
     directory is missing or its fingerprint (sample count + field specs +
-    caller token) no longer matches."""
+    first/last sample content + caller token) no longer matches."""
     cache_dir = Path(cache_dir)
     index_path = cache_dir / _INDEX
-    if index_path.exists():
-        try:
-            with open(index_path) as f:
-                index = json.load(f)
-            first_arrays, _ = _flatten_arrays(dataset[0])
-            specs = {
-                field: {"shape": list(arr.shape), "dtype": str(arr.dtype)}
-                for field, arr in first_arrays.items()
-            }
-            want = _fingerprint(len(dataset), specs, fingerprint_token)
-            if index.get("fingerprint") == want:
+    # Dataset probing happens OUTSIDE the corrupt-cache guard: an error
+    # here (missing image, bad annotations) is the dataset's, not the
+    # cache's, and must surface as such.
+    first = dataset[0]
+    want = _fingerprint(dataset, first, _specs(first), fingerprint_token)
+    with _dir_lock(cache_dir):
+        if index_path.exists():
+            try:
+                with open(index_path) as f:
+                    index = json.load(f)
+                stored = index.get("fingerprint")
+            except (OSError, ValueError) as exc:  # corrupt cache -> rebuild
+                stored = None
+                logger.warning(
+                    "Packed cache %s unreadable (%s); rebuilding", cache_dir, exc
+                )
+            if stored == want:
                 logger.info("Reusing packed sample cache: %s", cache_dir)
                 return PackedDataset(cache_dir, source=dataset)
-            logger.info(
-                "Packed cache %s is stale (fingerprint mismatch); rebuilding",
-                cache_dir,
-            )
-        except Exception as exc:  # corrupt cache -> rebuild
-            logger.warning("Packed cache %s unreadable (%s); rebuilding", cache_dir, exc)
-    build_packed_cache(
-        dataset, cache_dir, num_workers=num_workers,
-        fingerprint_token=fingerprint_token,
-    )
-    return PackedDataset(cache_dir, source=dataset)
+            if stored is not None:
+                logger.info(
+                    "Packed cache %s is stale (fingerprint mismatch); rebuilding",
+                    cache_dir,
+                )
+        build_packed_cache(
+            dataset, cache_dir, num_workers=num_workers,
+            fingerprint_token=fingerprint_token,
+        )
+        return PackedDataset(cache_dir, source=dataset)

@@ -68,10 +68,10 @@ def test_packed_view_reuses_and_rebuilds(tmp_path):
     builds_after_first = ds.loads
     assert builds_after_first >= len(ds)
 
-    # Reuse: only the fingerprint probe (sample 0) is decoded.
+    # Reuse: only the fingerprint probes (first + last sample) are decoded.
     ds2 = _SynthClsDataset()
     packed = packed_view(ds2, tmp_path / "c", num_workers=2, fingerprint_token="a")
-    assert ds2.loads == 1
+    assert ds2.loads == 2
     _assert_sample_equal(packed[3], ds2[3])
 
     # Token change -> stale -> rebuild.
@@ -118,3 +118,61 @@ def test_loader_over_packed_dataset(tmp_path):
     # Index metadata records field specs for tooling.
     index = json.loads((tmp_path / "c" / "index.json").read_text())
     assert index["fields"]["image"]["dtype"] == "uint8"
+
+
+class _MixedMetaDataset(_SynthClsDataset):
+    """metadata mixes array-able (int) and string members — the int must
+    survive the cache round-trip (regression: the merge used to overwrite
+    the whole metadata subtree with the non-array remainder)."""
+
+    def __getitem__(self, idx):
+        sample = super().__getitem__(idx)
+        sample["metadata"]["ivd"] = idx % 5 + 1
+        return sample
+
+
+def test_mixed_metadata_subtree_roundtrips(tmp_path):
+    ds = _MixedMetaDataset()
+    packed = packed_view(ds, tmp_path / "c", num_workers=2)
+    got = packed[7]
+    assert int(got["metadata"]["ivd"]) == 7 % 5 + 1
+    assert got["metadata"]["patient_id"] == "p007"
+    assert got["metadata"]["source"] == "synth"
+
+
+def test_content_change_triggers_rebuild(tmp_path):
+    """Same count, same shapes, different pixel/label content -> the
+    content-probe fingerprint must rebuild (labels edited in place)."""
+
+    class _Shifted(_SynthClsDataset):
+        def __getitem__(self, idx):
+            sample = super().__getitem__(idx)
+            sample["image"] = sample["image"] // 2  # same shape/dtype
+            return sample
+
+    ds = _SynthClsDataset()
+    packed_view(ds, tmp_path / "c", num_workers=2)
+    shifted = _Shifted()
+    packed = packed_view(shifted, tmp_path / "c", num_workers=2)
+    assert shifted.loads >= len(shifted)  # rebuilt, not reused
+    np.testing.assert_array_equal(packed[3]["image"], shifted[3]["image"])
+
+
+def test_metadata_mutation_does_not_persist(tmp_path):
+    ds = _SynthClsDataset()
+    packed = packed_view(ds, tmp_path / "c", num_workers=2)
+    sample = packed[2]
+    sample["metadata"]["patient_id"] = "MUTATED"
+    assert packed[2]["metadata"]["patient_id"] == "p002"
+
+
+def test_extra_field_in_later_sample_raises(tmp_path):
+    class _Drifting(_SynthClsDataset):
+        def __getitem__(self, idx):
+            sample = super().__getitem__(idx)
+            if idx == 5:
+                sample["surprise"] = np.zeros(3, np.float32)
+            return sample
+
+    with pytest.raises(ValueError, match="differ from sample 0"):
+        build_packed_cache(_Drifting(), tmp_path / "c", num_workers=2)
