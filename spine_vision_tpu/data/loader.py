@@ -61,9 +61,10 @@ def _stack_or_list(values: list[Any]) -> Any:
 
 def compute_inverse_frequency_weights(labels: Sequence[Any]) -> np.ndarray:
     """Per-sample weights 1 / class_count (reference sampling.py:70-77)."""
-    values, counts = np.unique(np.asarray(labels), return_counts=True)
-    weight_map = {v: 1.0 / c for v, c in zip(values, counts)}
-    return np.asarray([weight_map[v] for v in np.asarray(labels)], dtype=np.float64)
+    _, inverse, counts = np.unique(
+        np.asarray(labels), return_inverse=True, return_counts=True
+    )
+    return (1.0 / counts)[inverse].astype(np.float64)
 
 
 class DataLoader:
@@ -103,8 +104,6 @@ class DataLoader:
                 batch_size/process_count slice of each global batch.
                 Defaults to jax.process_index()/process_count().
         """
-        import jax
-
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -115,12 +114,18 @@ class DataLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch = max(1, prefetch)
         self.epoch = 0
-        self.process_index = (
-            jax.process_index() if process_index is None else process_index
-        )
-        self.process_count = (
-            jax.process_count() if process_count is None else process_count
-        )
+        if process_index is None or process_count is None:
+            # Lazy: the explicit-args path stays numpy-only.
+            import jax
+
+            process_index = (
+                jax.process_index() if process_index is None else process_index
+            )
+            process_count = (
+                jax.process_count() if process_count is None else process_count
+            )
+        self.process_index = process_index
+        self.process_count = process_count
         if self.batch_size % self.process_count != 0:
             raise ValueError(
                 f"batch_size={batch_size} not divisible by "
@@ -148,31 +153,40 @@ class DataLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def __iter__(self) -> Iterator[dict[str, Any]]:
-        indices = self._epoch_indices()
         n_batches = len(self)
         if n_batches == 0:
             return
+        indices = self._epoch_indices()
 
         batch_indices = [
             indices[i * self.batch_size : (i + 1) * self.batch_size]
             for i in range(n_batches)
         ]
+        # Real (non-duplicate) rows per yielded batch; trailing cross-host
+        # padding shrinks this for the last host(s) of a partial batch.
+        n_real = [len(b) for b in batch_indices]
         if self.process_count > 1:
             # Contiguous EQUAL per-host slice of every global batch: every
             # process must iterate the same number of batches with the same
             # per-host shard size, or the next cross-host collective
             # deadlocks. A trailing partial batch is padded (repeat last
-            # index) up to a process_count multiple first; the duplicate
-            # samples parallel the eval-side pad_to_multiple convention.
-            def host_slice(batch: np.ndarray) -> np.ndarray:
-                pad = (-len(batch)) % self.process_count
+            # index) up to a process_count multiple first; the duplicated
+            # rows are reported via the batch's ``_n_valid`` so eval can
+            # exclude them exactly (an unmarked duplicate would be double-
+            # counted in val loss/metrics).
+            def host_slice(batch: np.ndarray) -> tuple[np.ndarray, int]:
+                orig_len = len(batch)
+                pad = (-orig_len) % self.process_count
                 if pad:
                     batch = np.concatenate([batch, np.repeat(batch[-1:], pad)])
                 share = len(batch) // self.process_count
                 start = self.process_index * share
-                return batch[start : start + share]
+                valid = int(np.clip(orig_len - start, 0, share))
+                return batch[start : start + share], valid
 
-            batch_indices = [host_slice(b) for b in batch_indices]
+            sliced = [host_slice(b) for b in batch_indices]
+            batch_indices = [b for b, _ in sliced]
+            n_real = [v for _, v in sliced]
 
         out_queue: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
@@ -180,11 +194,14 @@ class DataLoader:
         def producer() -> None:
             try:
                 with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                    for bidx in batch_indices:
+                    for bidx, valid in zip(batch_indices, n_real):
                         if stop.is_set():
                             return
                         samples = list(pool.map(self.dataset.__getitem__, bidx))
-                        out_queue.put(self.collate_fn(samples))
+                        batch = self.collate_fn(samples)
+                        if valid < len(bidx):
+                            batch["_n_valid"] = valid
+                        out_queue.put(batch)
                 out_queue.put(None)
             except BaseException as exc:  # propagate loader errors
                 out_queue.put(exc)

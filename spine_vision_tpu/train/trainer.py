@@ -504,6 +504,10 @@ class BaseTrainer(Generic[TConfig]):
         """Shard an eval batch, padding the trailing partial batch to a mesh
         multiple (repeat last sample). Returns (device_batch, n_valid); step
         outputs must be sliced back with :meth:`_slice_outputs`."""
+        # Cross-host trailing-batch padding: the loader reports how many of
+        # this host's rows are real via ``_n_valid`` (the rest are repeats
+        # of the last sample that would otherwise be double-counted).
+        loader_valid = batch.get("_n_valid")
         arrays = {
             k: v
             for k, v in batch.items()
@@ -511,6 +515,8 @@ class BaseTrainer(Generic[TConfig]):
             or (isinstance(v, dict) and k != "metadata")
         }
         padded, n_valid = pad_to_multiple(arrays, self.mesh_ctx.data_axis_size)
+        if loader_valid is not None:
+            n_valid = min(n_valid, int(loader_valid))
         # Mark padded rows so losses can exclude them exactly (the pad rows
         # repeat the last sample; an unweighted batch mean would bias the
         # trailing partial batch toward that duplicate).
@@ -525,6 +531,22 @@ class BaseTrainer(Generic[TConfig]):
         return jax.tree_util.tree_map(
             lambda x: np.asarray(x)[:n_valid], jax.device_get(outputs)
         )
+
+    @staticmethod
+    def _trim_batch(batch: dict[str, Any], n_valid: int) -> dict[str, Any]:
+        """Drop loader-duplicated trailing rows from a host batch so metric
+        targets stay row-aligned with the sliced outputs."""
+
+        def trim(value: Any) -> Any:
+            if isinstance(value, dict):
+                return {k: trim(v) for k, v in value.items()}
+            if isinstance(value, (np.ndarray, jax.Array)):
+                return np.asarray(value)[:n_valid]
+            if isinstance(value, list):
+                return value[:n_valid]
+            return value
+
+        return {k: trim(v) for k, v in batch.items() if k != "_n_valid"}
 
     def train(self) -> TrainingResult:
         """Run the full training loop."""
@@ -686,7 +708,7 @@ class BaseTrainer(Generic[TConfig]):
             total += float(jax.device_get(loss)) * n_valid
             count += n_valid
             outputs_list.append(self._slice_outputs(outputs, n_valid))
-            batches.append(batch)
+            batches.append(self._trim_batch(batch, n_valid))
         avg_loss = total / max(count, 1)
         metrics = self._compute_metrics(outputs_list, batches)
         return avg_loss, metrics

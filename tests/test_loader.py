@@ -170,3 +170,37 @@ def test_multihost_trailing_batch_padded_equally():
         assert len(per_host[pi]) == 3
         sizes = [len(b) for b in per_host[pi]]
         assert sizes == [2, 2, 1]  # trailing global batch of 2 padded to 4
+
+
+def test_multihost_trailing_duplicates_marked_invalid():
+    """Cross-host padding duplicates must be reported via _n_valid so eval
+    excludes them: summed across hosts, valid rows == dataset rows exactly
+    (regression: duplicates used to count as real samples in val metrics)."""
+    n, bs, pc = 18, 8, 4
+    total_valid = 0
+    for pi in range(pc):
+        loader = _loader(n, bs, pc, pi, shuffle=False, drop_last=False)
+        for batch in loader:
+            valid = batch.get("_n_valid", len(batch["idx"]))
+            total_valid += valid
+            # Rows beyond _n_valid are duplicates of the last real index.
+            if "_n_valid" in batch:
+                assert valid < len(batch["idx"])
+    assert total_valid == n
+
+
+def test_inverse_frequency_weights_vectorized():
+    from spine_vision_tpu.data.loader import compute_inverse_frequency_weights
+
+    labels = np.asarray([0, 0, 1, 2, 2, 2])
+    weights = compute_inverse_frequency_weights(labels)
+    np.testing.assert_allclose(weights, [0.5, 0.5, 1.0, 1 / 3, 1 / 3, 1 / 3])
+
+
+def test_empty_dataset_yields_no_batches():
+    loader = _loader(0, 8, 1, 0, shuffle=False, drop_last=False)
+    assert list(loader) == []
+    weighted = _loader(
+        0, 8, 1, 0, shuffle=True, sample_weights=np.asarray([], np.float64)
+    )
+    assert list(weighted) == []
