@@ -164,7 +164,11 @@ class DataLoader:
         ]
         # Real (non-duplicate) rows per yielded batch; trailing cross-host
         # padding shrinks this for the last host(s) of a partial batch.
+        # n_global holds the batch's REAL global size — identical on every
+        # host, so host-agnostic decisions (val-loss weighting, plateau /
+        # early-stopping) stay synchronized across processes.
         n_real = [len(b) for b in batch_indices]
+        n_global = [len(b) for b in batch_indices]
         if self.process_count > 1:
             # Contiguous EQUAL per-host slice of every global batch: every
             # process must iterate the same number of batches with the same
@@ -194,13 +198,20 @@ class DataLoader:
         def producer() -> None:
             try:
                 with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                    for bidx, valid in zip(batch_indices, n_real):
+                    for bidx, valid, global_valid in zip(
+                        batch_indices, n_real, n_global
+                    ):
                         if stop.is_set():
                             return
                         samples = list(pool.map(self.dataset.__getitem__, bidx))
                         batch = self.collate_fn(samples)
-                        if valid < len(bidx):
-                            batch["_n_valid"] = valid
+                        if global_valid % self.process_count:
+                            # Padded global batch: every host gets the real
+                            # global size; hosts holding duplicate rows also
+                            # get their real LOCAL count.
+                            batch["_n_valid_global"] = global_valid
+                            if valid < len(bidx):
+                                batch["_n_valid"] = valid
                         out_queue.put(batch)
                 out_queue.put(None)
             except BaseException as exc:  # propagate loader errors

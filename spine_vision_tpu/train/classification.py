@@ -371,6 +371,7 @@ class ClassificationTrainer(BaseTrainer[ClassificationConfig]):
         for batch in loader:
             device_batch, n_valid = self._shard_eval(batch)
             outputs, _ = self._eval_step(self.state, device_batch)
+            batch = self._trim_batch(batch, n_valid)  # drop loader duplicates
             outputs_np = self._slice_outputs(outputs, n_valid)
             self.metrics.update(outputs_np, batch["targets"])
             if visualize:

@@ -284,6 +284,7 @@ class LocalizationTrainer(BaseTrainer[LocalizationConfig]):
         for batch in loader:
             device_batch, n_valid = self._shard_eval(batch)
             outputs, _ = self._eval_step(self.state, device_batch)
+            batch = self._trim_batch(batch, n_valid)  # drop loader duplicates
             preds_list.append(self._slice_outputs(outputs, n_valid))
             targets_list.append(np.asarray(batch["coords"]))
             masks_list.append(np.asarray(batch["mask"]))

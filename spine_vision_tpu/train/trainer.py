@@ -536,6 +536,8 @@ class BaseTrainer(Generic[TConfig]):
     def _trim_batch(batch: dict[str, Any], n_valid: int) -> dict[str, Any]:
         """Drop loader-duplicated trailing rows from a host batch so metric
         targets stay row-aligned with the sliced outputs."""
+        if "_n_valid" not in batch:
+            return batch  # no duplicates: rows already == n_valid
 
         def trim(value: Any) -> Any:
             if isinstance(value, dict):
@@ -546,7 +548,11 @@ class BaseTrainer(Generic[TConfig]):
                 return value[:n_valid]
             return value
 
-        return {k: trim(v) for k, v in batch.items() if k != "_n_valid"}
+        return {
+            k: trim(v)
+            for k, v in batch.items()
+            if k not in ("_n_valid", "_n_valid_global")
+        }
 
     def train(self) -> TrainingResult:
         """Run the full training loop."""
@@ -699,14 +705,20 @@ class BaseTrainer(Generic[TConfig]):
         count = 0
         outputs_list: list[Any] = []
         batches: list[Any] = []
+        pc = self.val_loader.process_count
         for batch in self.val_loader:
             device_batch, n_valid = self._shard_eval(batch)
             outputs, loss = self._eval_step(self.state, device_batch)
-            # Weight each batch by its true size so a padded trailing batch
-            # doesn't count as much as a full one in the epoch's val loss
-            # (which gates early stopping / plateau / best-model selection).
-            total += float(jax.device_get(loss)) * n_valid
-            count += n_valid
+            # Weight each batch by its true GLOBAL size so (a) a padded
+            # trailing batch doesn't count as much as a full one, and (b)
+            # every host computes the identical val_loss — this value gates
+            # plateau LR, best-model selection, and early stopping, and a
+            # host-divergent weight would desynchronize those collective
+            # decisions (host-local n_valid differs on a cross-host-padded
+            # trailing batch).
+            weight = batch.get("_n_valid_global", n_valid * pc)
+            total += float(jax.device_get(loss)) * weight
+            count += weight
             outputs_list.append(self._slice_outputs(outputs, n_valid))
             batches.append(self._trim_batch(batch, n_valid))
         avg_loss = total / max(count, 1)

@@ -178,15 +178,24 @@ def test_multihost_trailing_duplicates_marked_invalid():
     (regression: duplicates used to count as real samples in val metrics)."""
     n, bs, pc = 18, 8, 4
     total_valid = 0
+    globals_seen = []
     for pi in range(pc):
         loader = _loader(n, bs, pc, pi, shuffle=False, drop_last=False)
+        host_globals = []
         for batch in loader:
             valid = batch.get("_n_valid", len(batch["idx"]))
             total_valid += valid
             # Rows beyond _n_valid are duplicates of the last real index.
             if "_n_valid" in batch:
                 assert valid < len(batch["idx"])
+            host_globals.append(batch.get("_n_valid_global"))
+        globals_seen.append(host_globals)
     assert total_valid == n
+    # Every host sees the identical global-valid sequence (None for full
+    # batches, the real global size for the padded trailing one) — the
+    # trainer uses it for host-synchronized val-loss weighting.
+    assert all(g == globals_seen[0] for g in globals_seen)
+    assert globals_seen[0] == [None, None, 2]
 
 
 def test_inverse_frequency_weights_vectorized():
