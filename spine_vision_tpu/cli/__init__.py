@@ -300,7 +300,7 @@ def cli(argv: list[str] | None = None) -> int:
                 crop_mode=args.crop_mode, padded_hw=padded_hw
             ),
         )
-        results = pipeline.run(studies)
+        results = pipeline.run(studies, fetch_crops=False)
         payload = [
             {
                 "study_id": r.study_id,

@@ -50,6 +50,38 @@ SERIES_ORDER = ("sag_t1", "sag_t2")  # index 0 = T1, 1 = T2
 def _round_up(n: int, multiple: int) -> int:
     return ((n + multiple - 1) // multiple) * multiple
 
+
+def _bucket_count(n: int, bucket: bool, multiple: int) -> int:
+    """Padded batch size: power-of-two bucket (serving-shape stability) then
+    rounded to a mesh-axis multiple (shardability)."""
+    if bucket and n > 0:
+        n = 1 << (n - 1).bit_length()
+    if multiple > 1 and n > 0:
+        n = _round_up(n, multiple)
+    return n
+
+
+def _place_slice(
+    dst: np.ndarray, hw_row: np.ndarray, arr: np.ndarray,
+    padded_hw: tuple[int, int],
+) -> None:
+    """Copy one slice into its padded buffer row and record its extent."""
+    h, w = arr.shape
+    hp, wp = padded_hw
+    if h > hp or w > wp:
+        raise ValueError(f"slice {arr.shape} exceeds padded_hw {padded_hw}")
+    dst[:h, :w] = arr
+    hw_row[:] = (h, w)
+
+
+def _fallback_centers(num_levels: int) -> np.ndarray:
+    """Center-column fallback disc centers for any level count (the 5-level
+    table matches the reference's get_center_fallback_locations)."""
+    if num_levels == len(DEFAULT_IVD_CENTERS_XY):
+        return DEFAULT_IVD_CENTERS_XY
+    y = np.linspace(0.25, 0.65, num_levels, dtype=np.float32)
+    return np.stack([np.full(num_levels, 0.5, np.float32), y], axis=-1)
+
 # Approximate normalized (x, y) IVD centers L1/L2..L5/S1 used when no
 # localization model is available (reference cropping.py:28-34, 486-492).
 DEFAULT_IVD_CENTERS_XY = np.array(
@@ -112,13 +144,16 @@ def study_input_from_paths(
 
     from spine_vision_tpu.io.series import prepare_series_slice
 
-    # The two series decode independently; on a multi-core host this halves
-    # the per-study host latency (numpy decode releases the GIL in its
-    # copy/BLAS-heavy parts).
+    # The two series decode independently: the host-side parse/entropy
+    # decode overlaps across threads (GIL released in the C/numpy parts),
+    # while the in-plane resample's device matmuls serialize on the device
+    # queue either way. Submitting both surfaces whichever error comes
+    # first instead of silently discarding one.
     with ThreadPoolExecutor(max_workers=2) as pool:
         t1_future = pool.submit(prepare_series_slice, t1_path)
-        t2_slice, t2_spacing = prepare_series_slice(t2_path)
+        t2_future = pool.submit(prepare_series_slice, t2_path)
         t1_slice, t1_spacing = t1_future.result()
+        t2_slice, t2_spacing = t2_future.result()
     return StudyInput(
         t1_slice=t1_slice,
         t2_slice=t2_slice,
@@ -135,7 +170,7 @@ class StudyResult:
     study_id: str
     coords: np.ndarray  # [S, L, 2] normalized per-series disc centers
     angles: np.ndarray  # [S, L] rotation angles (deg)
-    crops: np.ndarray  # [S, L, ch, cw] uint8 letterboxed crops
+    crops: np.ndarray | None  # [S, L, ch, cw] uint8 crops (None if not fetched)
     logits: dict[str, np.ndarray]  # task -> [L, C]
     predictions: dict[str, np.ndarray] = field(default_factory=dict)
     probabilities: dict[str, np.ndarray] = field(default_factory=dict)
@@ -268,34 +303,26 @@ class SeriesCropPipeline:
         """
         hp, wp = self.config.padded_hw
         n_real = len(slices)
-        m = n_real
-        if self.config.bucket_batches and m > 0:
-            m = 1 << (m - 1).bit_length()  # serving-shape stability (see config)
-        if self._batch_multiple > 1 and m > 0:
-            m = _round_up(m, self._batch_multiple)  # shardable across the mesh
+        m = _bucket_count(n_real, self.config.bucket_batches, self._batch_multiple)
         flat = np.zeros((m, hp, wp), dtype=np.float32)
         # Dummy rows carry 1x1 extents so the masked normalize stays finite.
         hw = np.ones((m, 2), dtype=np.int32)
         for i, sl in enumerate(slices):
-            arr = np.asarray(sl, dtype=np.float32)
-            h, w = arr.shape
-            if h > hp or w > wp:
-                raise ValueError(
-                    f"slice {arr.shape} exceeds padded_hw {self.config.padded_hw}"
-                )
-            flat[i, :h, :w] = arr
-            hw[i] = (h, w)
+            _place_slice(
+                flat[i], hw[i], np.asarray(sl, dtype=np.float32),
+                self.config.padded_hw,
+            )
         spacing = np.ones((m, 2), dtype=np.float32)
         spacing[:n_real] = np.asarray(spacings, dtype=np.float32)
         centers = np.broadcast_to(
-            DEFAULT_IVD_CENTERS_XY[None], (m, self.config.num_levels, 2)
+            _fallback_centers(self.config.num_levels)[None],
+            (m, self.config.num_levels, 2),
         ).copy()
+        # numpy straight into jit: with mesh in_shardings each shard is
+        # placed host->device directly (jnp.asarray would stage the whole
+        # batch on one device first, then reshard).
         coords, angles, crops = self._run(
-            self.loc_variables,
-            jnp.asarray(flat),
-            jnp.asarray(hw),
-            jnp.asarray(spacing),
-            jnp.asarray(centers),
+            self.loc_variables, flat, hw, spacing, centers
         )
         return (
             np.asarray(jax.device_get(coords))[:n_real],
@@ -391,11 +418,9 @@ class StudyInferencePipeline:
         self, studies: list[StudyInput]
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         hp, wp = self.config.padded_hw
-        n = len(studies)
-        if self.config.bucket_batches and n > 0:
-            n = 1 << (n - 1).bit_length()  # next power of two
-        if self._batch_multiple > 1 and n > 0:
-            n = _round_up(n, self._batch_multiple)  # shardable across the mesh
+        n = _bucket_count(
+            len(studies), self.config.bucket_batches, self._batch_multiple
+        )
         slices = np.zeros((n, 2, hp, wp), dtype=np.float32)
         # Dummy rows (beyond len(studies)) carry 1x1 extents so the masked
         # normalize/resize stay finite; their outputs are sliced off.
@@ -408,27 +433,31 @@ class StudyInferencePipeline:
                     (study.t2_slice, study.t2_spacing),
                 )
             ):
-                arr = np.asarray(sl, dtype=np.float32)
-                h, w = arr.shape
-                if h > hp or w > wp:
-                    raise ValueError(
-                        f"slice {arr.shape} exceeds padded_hw {self.config.padded_hw}"
-                    )
-                slices[i, j, :h, :w] = arr
-                hw[i, j] = (h, w)
+                _place_slice(
+                    slices[i, j], hw[i, j],
+                    np.asarray(sl, dtype=np.float32), self.config.padded_hw,
+                )
                 spacing[i, j] = sp
         return slices, hw, spacing
 
-    def run(self, studies: list[StudyInput]) -> list[StudyResult]:
-        """Run the fused graph on a batch of studies, decode on host."""
+    def run(
+        self, studies: list[StudyInput], fetch_crops: bool = True
+    ) -> list[StudyResult]:
+        """Run the fused graph on a batch of studies, decode on host.
+
+        ``fetch_crops=False`` skips the device->host transfer of the crop
+        tensor ([N, S, L, ch, cw] uint8 — by far the largest output) for
+        callers that only consume coords/predictions (the serving path);
+        ``StudyResult.crops`` is then None.
+        """
         slices, hw, spacing = self._pack(studies)
-        out = self._run(
-            self.loc_variables,
-            self.cls_variables,
-            jnp.asarray(slices),
-            jnp.asarray(hw),
-            jnp.asarray(spacing),
-        )
+        # numpy straight into jit: with mesh in_shardings each shard is
+        # placed host->device directly (jnp.asarray would stage the whole
+        # batch on one device first, then reshard).
+        out = self._run(self.loc_variables, self.cls_variables, slices, hw, spacing)
+        if not fetch_crops:
+            out = dict(out)
+            out.pop("crops")
         out = jax.device_get(out)
         results = []
         for i, study in enumerate(studies):
@@ -438,7 +467,7 @@ class StudyInferencePipeline:
                     study_id=study.study_id,
                     coords=np.asarray(out["coords"][i]),
                     angles=np.asarray(out["angles"][i]),
-                    crops=np.asarray(out["crops"][i]),
+                    crops=np.asarray(out["crops"][i]) if fetch_crops else None,
                     logits=logits,
                     predictions=compute_predictions_for_tasks(logits, self.tasks),
                     probabilities=compute_probabilities_for_tasks(

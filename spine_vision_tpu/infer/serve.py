@@ -168,7 +168,10 @@ def serve_directory(
 
             if batch.studies:
                 start = time.perf_counter()
-                results = pipeline.run(batch.studies)
+                # The serve payload carries coords/predictions only — skip
+                # the crop tensor's device->host transfer (the largest
+                # output by far).
+                results = pipeline.run(batch.studies, fetch_crops=False)
                 elapsed = time.perf_counter() - start
                 stats.batches += 1
                 for path, result in zip(batch.paths, results):
