@@ -67,12 +67,14 @@ def _to_gray_f32(image: np.ndarray) -> np.ndarray:
     return arr.astype(np.float32)
 
 
-def _pad_to_multiple_2d(arr: np.ndarray, multiple: int) -> np.ndarray:
+def _pad_to_multiple_2d(
+    arr: np.ndarray, multiple: int, value: float = 0.0
+) -> np.ndarray:
     h, w = arr.shape
     ph = (-h) % multiple
     pw = (-w) % multiple
     if ph or pw:
-        arr = np.pad(arr, ((0, ph), (0, pw)))
+        arr = np.pad(arr, ((0, ph), (0, pw)), constant_values=value)
     return arr
 
 
@@ -83,11 +85,16 @@ class TextDetector:
         self,
         variables: Any | None = None,
         input_multiple: int = 32,
+        shape_bucket: int = 256,
         threshold: float = 0.3,
         seed: int = 0,
     ) -> None:
         self.model = TextDetectionNet()
         self.input_multiple = input_multiple
+        # Pages pad to a multiple of this (>= input_multiple) so mixed-size
+        # scans share compiled shapes instead of retracing per resolution,
+        # the H/W analogue of the recognizer's power-of-two N bucket.
+        self.shape_bucket = max(shape_bucket, input_multiple)
         self.threshold = threshold
         self._variables = variables
         self._seed = seed
@@ -110,7 +117,9 @@ class TextDetector:
     def detect(self, image: np.ndarray) -> np.ndarray:
         """Detect text regions; returns [N, 4, 2] quads (TL TR BR BL)."""
         gray = _to_gray_f32(image) / 255.0
-        padded = _pad_to_multiple_2d(gray, self.input_multiple)
+        # Pad with WHITE (1.0): report pages are dark ink on white, so a
+        # zero (black) band reads as a giant text stroke to the detector.
+        padded = _pad_to_multiple_2d(gray, self.shape_bucket, value=1.0)
         batch = jnp.asarray(padded)[None, :, :, None]
         variables = self._ensure_variables(batch)
         prob = np.asarray(self._forward(variables, batch))[0, :, :, 0]
@@ -162,8 +171,19 @@ class TextRecognizer:
         once per bucket instead of once per distinct box count per page.
         """
         patches = np.asarray(patches, dtype=np.float32)
-        if patches.ndim != 3 or patches.shape[0] == 0:
+        if patches.ndim != 3:
+            raise ValueError(
+                f"recognize_batch expects [N, h, w] grayscale patches, got "
+                f"shape {patches.shape}"
+            )
+        if patches.shape[0] == 0:
             return []
+        if patches.shape[2] != self.patch_width:
+            raise ValueError(
+                f"patch width {patches.shape[2]} != recognizer patch_width "
+                f"{self.patch_width} (the positional embedding is sized for "
+                "the training width)"
+            )
         n = patches.shape[0]
         bucket = 1 << (n - 1).bit_length()
         if bucket > n:
@@ -194,6 +214,7 @@ class DocumentExtractor:
         self.patch_height = patch_height
         self.patch_width = patch_width
         self.pdf_dpi = pdf_dpi
+        self._page_cache: tuple[tuple[str, int], np.ndarray | None] | None = None
 
     def _rectify(self, image: np.ndarray, quads: np.ndarray) -> np.ndarray:
         """One fused device pass rectifies every detected box."""
@@ -217,19 +238,44 @@ class DocumentExtractor:
         return self.recognizer.recognize_batch(patches)
 
     def extract(self, path: Path) -> list[str]:
-        """OCR a report file (PDF first page, or an image file)."""
+        """OCR a report file (PDF first page, or an image file).
+
+        A corrupt/unreadable file returns [] with a warning (matching the
+        zero-page-PDF contract): the Phenikaa corpus demonstrably contains
+        corrupt inputs (PreprocessConfig.corrupted_ids) and one bad file
+        must not abort an hours-long preprocess run."""
         from PIL import Image
 
         path = Path(path)
-        if path.suffix.lower() == ".pdf":
-            return self.extract_from_pdf(path)
-        return self.extract_from_image(np.asarray(Image.open(path)))
+        try:
+            if path.suffix.lower() == ".pdf":
+                return self.extract_from_pdf(path)
+            # convert(): palette/16-bit/LA modes would otherwise reach the
+            # grayscale math as indices / out-of-range intensities.
+            return self.extract_from_image(
+                np.asarray(Image.open(path).convert("RGB"))
+            )
+        except Exception as exc:  # noqa: BLE001 — isolate bad files
+            logger.warning("OCR failed for %s: %s", path, exc)
+            return []
+
+    def _render_first_page(
+        self, pdf_path: Path, dpi: int
+    ) -> np.ndarray | None:
+        """First PDF page at ``dpi``, memoized (size 1) so the crop fast
+        path and the full-page fallback don't rasterize the page twice."""
+        from spine_vision_tpu.io.pdf import pdf_first_page_to_array
+
+        key = (str(Path(pdf_path).resolve()), dpi)
+        if self._page_cache is not None and self._page_cache[0] == key:
+            return self._page_cache[1]
+        page = pdf_first_page_to_array(pdf_path, dpi=dpi)
+        self._page_cache = (key, page)
+        return page
 
     def extract_from_pdf(self, pdf_path: Path, dpi: int | None = None) -> list[str]:
         """OCR the first page of a PDF."""
-        from spine_vision_tpu.io.pdf import pdf_first_page_to_array
-
-        page = pdf_first_page_to_array(pdf_path, dpi=dpi or self.pdf_dpi)
+        page = self._render_first_page(pdf_path, dpi or self.pdf_dpi)
         if page is None:
             return []
         return self.extract_from_image(page)
@@ -242,13 +288,14 @@ class DocumentExtractor:
     ) -> list[str]:
         """OCR a fixed pixel region of a PDF's first page (fast path for
         known field positions, reference ocr.py:283-323). The crop region is
-        expressed in 200-DPI pixels (DEFAULT_PDF_ID_CROP_REGION)."""
-        from spine_vision_tpu.io.pdf import pdf_first_page_to_array
-
-        page = pdf_first_page_to_array(pdf_path, dpi=dpi or self.pdf_dpi)
+        expressed in 200-DPI pixels (DEFAULT_PDF_ID_CROP_REGION) and is
+        rescaled when the page renders at a different DPI."""
+        rendered_dpi = dpi or self.pdf_dpi
+        page = self._render_first_page(pdf_path, rendered_dpi)
         if page is None:
             return []
-        x1, y1, x2, y2 = crop_region
+        scale = rendered_dpi / 200.0
+        x1, y1, x2, y2 = (int(round(c * scale)) for c in crop_region)
         region = page[y1:y2, x1:x2]
         if region.size == 0:
             return []
