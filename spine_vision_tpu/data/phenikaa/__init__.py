@@ -45,6 +45,25 @@ ID_NAMED_REPORT_REGEX = re.compile(r"^\d+$")
 DEFAULT_PDF_ID_CROP_REGION: tuple[int, int, int, int] = (1100, 200, 1500, 400)
 
 
+def _id_from_text(text: str) -> int | None:
+    """Patient ID from an OCR line: the first contiguous run of >=6 digits.
+
+    The reference strips ALL non-digits (re.sub(r"\\D", ...), reference
+    phenikaa/__init__.py:214,259), which concatenates every number on the
+    line — a date next to the ID corrupts it into a garbage (or worse,
+    wrong-but-valid) ID. A contiguous-run match cannot cross other tokens;
+    the reference's concatenation is kept as a fallback for IDs that OCR
+    split internally (e.g. "2500 99999")."""
+    match = re.search(r"\d{6,}", text)
+    if match is None:
+        # OCR sometimes splits an ID with spaces ("2500 99999"): collapse
+        # whitespace ONLY and retry — collapsing every non-digit (the
+        # reference's behavior) would also weld date fragments (15/05/2024)
+        # into a plausible-looking ID.
+        match = re.search(r"\d{6,}", re.sub(r"\s", "", text))
+    return int(match.group()) if match else None
+
+
 @dataclass
 class ReportInfo:
     """Fields extracted from one medical report."""
@@ -131,7 +150,11 @@ class PatientNamedReportProcessor(ReportProcessor):
 
     @staticmethod
     def _parse_filename(stem: str) -> tuple[str, str | None]:
-        parts = stem.split("_")
+        # Split on spaces AND underscores: PATIENT_NAMED_REPORT_REGEX admits
+        # both separators, but the reference splits on '_' only, leaving a
+        # trailing date inside space-separated names (reference
+        # phenikaa/__init__.py:170 — bug fixed here, see MIGRATION.md).
+        parts = [p for p in re.split(r"[\s_]+", stem) if p]
         if len(parts) >= 2 and re.match(r"^\d{8}$", parts[-1]):
             return "".join(parts[:-1]), parts[-1]
         return "".join(parts), None
@@ -147,9 +170,9 @@ class PatientNamedReportProcessor(ReportProcessor):
             logger.debug("Failed to extract from PDF crop: %s", exc)
             return None
         for line in text_lines:
-            digits = re.sub(r"\D", "", line)
-            if len(digits) >= 6:
-                return int(digits)
+            patient_id = _id_from_text(line)
+            if patient_id is not None:
+                return patient_id
         return None
 
     def process(
@@ -175,11 +198,10 @@ class PatientNamedReportProcessor(ReportProcessor):
             id_str = fuzzy_value_extract(
                 text_lines, ID_FIELD_PATTERN, fuzzy_threshold, window_length=2
             )
-            digits = re.sub(r"\D", "", id_str or "")
-            if not digits:
+            patient_id = _id_from_text(id_str or "")
+            if patient_id is None:
                 logger.warning("Could not extract ID for patient: %s", patient_name)
                 return None
-            patient_id = int(digits)
 
         if text_lines is None:
             text_lines = extractor.extract(report_path)
@@ -232,10 +254,14 @@ def build_report_processor_registry(
 
 
 def collect_report_files(report_path: Path) -> list[Path]:
-    """All supported report files under a directory."""
-    report_files: list[Path] = []
-    for ext in SUPPORTED_EXTENSIONS:
-        report_files.extend(sorted(Path(report_path).rglob(f"*{ext}")))
+    """All supported report files under a directory (extension matching is
+    case-insensitive: scanners commonly emit .PDF/.JPG)."""
+    extensions = {ext.lower() for ext in SUPPORTED_EXTENSIONS}
+    report_files = sorted(
+        p
+        for p in Path(report_path).rglob("*")
+        if p.is_file() and p.suffix.lower() in extensions
+    )
     logger.info("Found %d report files", len(report_files))
     return report_files
 
@@ -333,8 +359,23 @@ def preprocess_phenikaa(
 
     valid_ids = set(label_data[config.id_col].unique())
     matched_ids: list[int] = []
+    matched_set: set[int] = set()
 
     for report_path in report_files:
+        # ID-named reports reveal their ID before any OCR: skip unlabeled
+        # ones up front rather than paying a full-page OCR pass only to
+        # discard the result at the valid_ids check below.
+        if ID_NAMED_REPORT_REGEX.match(report_path.stem):
+            stem_id = int(report_path.stem)
+            if stem_id not in valid_ids:
+                logger.debug("ID %d not in label data, skipping", stem_id)
+                continue
+            if stem_id in matched_set:
+                logger.warning(
+                    "Duplicate report for already-matched ID %d: %s (skipped "
+                    "to avoid merging two source folders)", stem_id, report_path,
+                )
+                continue
         info = registry.process(
             report_path, extractor, config.report_fuzzy_threshold
         )
@@ -342,6 +383,12 @@ def preprocess_phenikaa(
             continue
         if info.patient_id not in valid_ids:
             logger.debug("ID %d not in label data, skipping", info.patient_id)
+            continue
+        if info.patient_id in matched_set:
+            logger.warning(
+                "Duplicate report for already-matched ID %d: %s (skipped to "
+                "avoid merging two source folders)", info.patient_id, report_path,
+            )
             continue
 
         if info.patient_name and info.patient_birthday:
@@ -356,6 +403,7 @@ def preprocess_phenikaa(
             shutil.copytree(best_folder, dest, dirs_exist_ok=True)
             logger.info("Copied %s -> %s", best_folder.name, dest)
             matched_ids.append(info.patient_id)
+            matched_set.add(info.patient_id)
         else:
             logger.warning(
                 "No matching folder for '%s' (ID: %s)",

@@ -254,3 +254,37 @@ def test_find_matching_folder_folds_diacritics(tmp_path):
     folder_map = build_folder_lookup(tmp_path)
     match = find_matching_folder("BùiThịDung", "02/03/1985", folder_map)
     assert match is not None and match.name == "BUI_THI_DUNG_1985_20240101"
+
+
+def test_id_from_text_prefers_contiguous_run():
+    """OCR ID extraction: a date on the same line must not corrupt the ID
+    (the reference concatenates every digit on the line)."""
+    from spine_vision_tpu.data.phenikaa import _id_from_text
+
+    assert _id_from_text("So phieu: 250099999 Ngay 15/05/2024") == 250099999
+    assert _id_from_text("250012345") == 250012345
+    # OCR-split ID with no 6-digit run falls back to concatenation.
+    assert _id_from_text("2500 99999") == 250099999
+    # Pure date fragments never qualify.
+    assert _id_from_text("15/05/2024") is None
+    assert _id_from_text("no digits here") is None
+
+
+def test_parse_filename_space_separated_date():
+    from spine_vision_tpu.data.phenikaa import PatientNamedReportProcessor
+
+    parse = PatientNamedReportProcessor._parse_filename
+    assert parse("NGUYEN_VAN_SON_20250718") == ("NGUYENVANSON", "20250718")
+    assert parse("Nguyen Van A 19800515") == ("NguyenVanA", "19800515")
+    assert parse("NGUYEN_VAN_SON") == ("NGUYENVANSON", None)
+
+
+def test_collect_report_files_case_insensitive(tmp_path):
+    from spine_vision_tpu.data.phenikaa import collect_report_files
+
+    (tmp_path / "a.pdf").write_bytes(b"x")
+    (tmp_path / "b.PDF").write_bytes(b"x")
+    (tmp_path / "c.JPG").write_bytes(b"x")
+    (tmp_path / "d.txt").write_bytes(b"x")
+    names = {p.name for p in collect_report_files(tmp_path)}
+    assert names == {"a.pdf", "b.PDF", "c.JPG"}
