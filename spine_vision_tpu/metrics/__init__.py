@@ -27,6 +27,27 @@ def _to_np(x: Any) -> np.ndarray:
     return np.asarray(x)
 
 
+def _stable_sigmoid(x: np.ndarray) -> np.ndarray:
+    """Overflow-free sigmoid (np.exp(-x) overflows for x < -709)."""
+    out = np.empty_like(x, dtype=np.float64)
+    pos = x >= 0
+    out[pos] = 1.0 / (1.0 + np.exp(-x[pos]))
+    ex = np.exp(x[~pos])
+    out[~pos] = ex / (1.0 + ex)
+    return out
+
+
+def _precision_recall_f1(tp: int, fp: int, fn: int) -> tuple[float, float, float]:
+    precision = tp / (tp + fp) if (tp + fp) > 0 else 0.0
+    recall = tp / (tp + fn) if (tp + fn) > 0 else 0.0
+    f1 = (
+        2 * precision * recall / (precision + recall)
+        if (precision + recall) > 0
+        else 0.0
+    )
+    return float(precision), float(recall), float(f1)
+
+
 @dataclass
 class MetricResult:
     """Container for metric computation results."""
@@ -64,8 +85,14 @@ class LocalizationMetrics(BaseMetrics):
         pck_thresholds: list[float] | None = None,
         level_names: list[str] | None = None,
     ) -> None:
-        self.pck_thresholds = pck_thresholds or [0.02, 0.05, 0.10]
-        self.level_names = level_names or list(LEVEL_NAMES_DEFAULT)
+        # `is None` (not falsy-or): an explicit [] means "no PCK columns" /
+        # "no per-level rows", it must not re-enable the defaults.
+        self.pck_thresholds = (
+            pck_thresholds if pck_thresholds is not None else [0.02, 0.05, 0.10]
+        )
+        self.level_names = (
+            level_names if level_names is not None else list(LEVEL_NAMES_DEFAULT)
+        )
         self._predictions: list[np.ndarray] = []
         self._targets: list[np.ndarray] = []
         self._levels: list[np.ndarray] = []
@@ -106,8 +133,18 @@ class LocalizationMetrics(BaseMetrics):
 
         predictions = _to_np(predictions).astype(np.float64)
         targets = _to_np(targets).astype(np.float64)
+        if len(predictions) == 0:
+            # All keypoints masked out (or an empty split): {} matches the
+            # no-data accumulated path — NaN here would silently freeze
+            # best-checkpoint tracking (NaN < best is never True).
+            return {}
         if levels is not None:
             levels = _to_np(levels)
+            if len(levels) != len(predictions):
+                # Mixed update() calls with and without levels: the
+                # breakdown is no longer row-aligned — skip it rather than
+                # index with a mismatched mask.
+                levels = None
 
         metrics: dict[str, float] = {}
 
@@ -201,20 +238,14 @@ class ClassificationMetrics(BaseMetrics):
             pred_mask = predictions == class_idx
             target_mask = targets == class_idx
 
-            tp = np.sum(pred_mask & target_mask)
-            fp = np.sum(pred_mask & ~target_mask)
-            fn = np.sum(~pred_mask & target_mask)
-
-            precision = tp / (tp + fp) if (tp + fp) > 0 else 0.0
-            recall = tp / (tp + fn) if (tp + fn) > 0 else 0.0
-            f1 = (
-                2 * precision * recall / (precision + recall)
-                if (precision + recall) > 0
-                else 0.0
+            precision, recall, f1 = _precision_recall_f1(
+                np.sum(pred_mask & target_mask),
+                np.sum(pred_mask & ~target_mask),
+                np.sum(~pred_mask & target_mask),
             )
-            metrics[f"precision_{class_name}"] = float(precision)
-            metrics[f"recall_{class_name}"] = float(recall)
-            metrics[f"f1_{class_name}"] = float(f1)
+            metrics[f"precision_{class_name}"] = precision
+            metrics[f"recall_{class_name}"] = recall
+            metrics[f"f1_{class_name}"] = f1
 
         recalls = [metrics[f"recall_{name}"] for name in self.class_names]
         metrics["balanced_accuracy"] = float(np.mean(recalls) * 100)
@@ -304,7 +335,7 @@ class ClassifierMetrics:
             target = get_value(targets, label)
             if pred is not None and target is not None:
                 logits = _to_np(pred).astype(np.float64)
-                probs = 1.0 / (1.0 + np.exp(-logits))
+                probs = _stable_sigmoid(logits)
                 self._binary_preds[label].append(probs)
                 self._binary_targets[label].append(_to_np(target))
 
@@ -340,21 +371,15 @@ class ClassifierMetrics:
                 np.mean(pred_binary == t_binary) * 100
             )
 
-            tp = np.sum((pred_binary == 1) & (t_binary == 1))
-            fp = np.sum((pred_binary == 1) & (t_binary == 0))
-            fn = np.sum((pred_binary == 0) & (t_binary == 1))
-
-            precision = tp / (tp + fp) if (tp + fp) > 0 else 0.0
-            recall = tp / (tp + fn) if (tp + fn) > 0 else 0.0
-            f1 = (
-                2 * precision * recall / (precision + recall)
-                if (precision + recall) > 0
-                else 0.0
+            precision, recall, f1 = _precision_recall_f1(
+                np.sum((pred_binary == 1) & (t_binary == 1)),
+                np.sum((pred_binary == 1) & (t_binary == 0)),
+                np.sum((pred_binary == 0) & (t_binary == 1)),
             )
-            metrics[f"{label}_precision"] = float(precision)
-            metrics[f"{label}_recall"] = float(recall)
-            metrics[f"{label}_f1"] = float(f1)
-            f1_scores.append(float(f1))
+            metrics[f"{label}_precision"] = precision
+            metrics[f"{label}_recall"] = recall
+            metrics[f"{label}_f1"] = f1
+            f1_scores.append(f1)
 
         accs = [v for k, v in metrics.items() if k.endswith("_accuracy")]
         metrics["overall_accuracy"] = float(np.mean(accs)) if accs else 0.0

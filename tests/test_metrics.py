@@ -80,3 +80,45 @@ def test_classifier_metrics_single_task_uses_f1_key():
     out = m.compute()
     assert out["f1"] == 1.0
     assert "macro_f1" not in out
+
+
+def test_localization_metrics_empty_after_masking():
+    """All-masked splits return {} instead of NaN metrics (NaN would
+    silently freeze best-checkpoint tracking: NaN < best is never True)."""
+    from spine_vision_tpu.metrics import LocalizationMetrics
+
+    m = LocalizationMetrics()
+    assert m.compute(np.zeros((0, 2)), np.zeros((0, 2))) == {}
+
+
+def test_localization_metrics_mixed_levels_updates():
+    """update() with levels on one batch and without on another must not
+    crash compute (the breakdown is skipped when rows misalign)."""
+    from spine_vision_tpu.metrics import LocalizationMetrics
+
+    m = LocalizationMetrics()
+    m.update(np.zeros((3, 2)), np.ones((3, 2)), levels=np.arange(3))
+    m.update(np.zeros((2, 2)), np.ones((2, 2)))
+    metrics = m.compute()
+    assert metrics["med"] > 0
+    assert not any(k.startswith("med_L") for k in metrics)
+
+
+def test_stable_sigmoid_extreme_logits():
+    import warnings
+
+    from spine_vision_tpu.metrics import _stable_sigmoid
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any overflow warning -> failure
+        probs = _stable_sigmoid(np.asarray([-1000.0, -1.0, 0.0, 1.0, 1000.0]))
+    np.testing.assert_allclose(probs[[1, 2, 3]], [0.26894142, 0.5, 0.73105858])
+    assert probs[0] == 0.0 and probs[4] == 1.0
+
+
+def test_empty_pck_thresholds_disable_pck():
+    from spine_vision_tpu.metrics import LocalizationMetrics
+
+    m = LocalizationMetrics(pck_thresholds=[], level_names=[])
+    metrics = m.compute(np.zeros((2, 2)), np.ones((2, 2)), levels=np.arange(2))
+    assert not any(k.startswith("pck@") for k in metrics)
