@@ -77,6 +77,13 @@ _ENCAPSULATED = {
 # VRs with 4-byte length (explicit VR) preceded by 2 reserved bytes.
 _LONG_VRS = {b"OB", b"OW", b"OF", b"OL", b"OD", b"SQ", b"UC", b"UR", b"UT", b"UN"}
 
+# All standard VRs (PS3.5 6.2) — used to sniff explicit VR in raw datasets.
+_ALL_VRS = _LONG_VRS | {
+    b"AE", b"AS", b"AT", b"CS", b"DA", b"DS", b"DT", b"FL", b"FD", b"IS",
+    b"LO", b"LT", b"PN", b"SH", b"SL", b"SS", b"ST", b"SV", b"TM", b"UI",
+    b"UL", b"US", b"UV",
+}
+
 
 class DicomError(ValueError):
     """Malformed or unsupported DICOM data."""
@@ -150,7 +157,9 @@ def _parse_elements(
             return out
 
         if vr == b"SQ" or length == 0xFFFFFFFF:
-            _skip_sequence(reader, length, explicit)
+            # Undefined-length UN contents are ALWAYS implicit VR
+            # (PS3.5 6.2.2), even inside an explicit-VR dataset.
+            _skip_sequence(reader, length, explicit and vr != b"UN")
             continue
 
         if length > data_len - reader.pos:
@@ -204,7 +213,8 @@ def _skip_item_undefined(reader: _Reader, explicit: bool) -> None:
             vr = b""
             length = reader.u32()
         if vr == b"SQ" or length == 0xFFFFFFFF:
-            _skip_sequence(reader, length, explicit)
+            # PS3.5 6.2.2: undefined-length UN contents are implicit VR.
+            _skip_sequence(reader, length, explicit and vr != b"UN")
         else:
             reader.skip(length)
 
@@ -254,6 +264,14 @@ class DicomFile:
         # Part-10: 128-byte preamble + 'DICM'
         offset = 0
         transfer_syntax = TS_IMPLICIT_LE
+        if len(data) >= 8 and data[128:132] != b"DICM":
+            # Preamble-less raw dataset: sniff the VR field of the first
+            # element (bytes 4-6) — two uppercase ASCII letters mean
+            # explicit VR LE, otherwise implicit VR LE (the pydicom/GDCM
+            # heuristic; without it explicit raw datasets mis-parse their
+            # first VR bytes as part of a u32 length).
+            if data[4:6] in _ALL_VRS:
+                transfer_syntax = TS_EXPLICIT_LE
         if len(data) > 132 and data[128:132] == b"DICM":
             offset = 132
             # File meta group (always explicit VR LE).
@@ -332,6 +350,11 @@ class DicomFile:
         return _decode_us(raw, self._little) if raw else 16
 
     @property
+    def bits_stored(self) -> int:
+        raw = self._get(TAG_BITS_STORED)
+        return _decode_us(raw, self._little) if raw else self.bits_allocated
+
+    @property
     def pixel_representation(self) -> int:
         raw = self._get(TAG_PIXEL_REPRESENTATION)
         return _decode_us(raw, self._little) if raw else 0
@@ -405,11 +428,21 @@ class DicomFile:
         else:
             arr = self._decode_native(payload, rows, cols, frames)
 
+        if self.photometric == "MONOCHROME1":
+            # Invert STORED values against the fixed stored-range maximum:
+            # a per-slice data maximum would make identical tissue invert to
+            # different values across a series (banding), and inverting
+            # after rescale would flip calibrated units. (GDCM/SimpleITK do
+            # not invert at all; the fixed-reference inversion keeps
+            # "bright = high signal" without the per-slice inconsistency.)
+            top = 2 ** self.bits_stored - 1
+            if np.issubdtype(arr.dtype, np.integer):
+                arr = top - arr.astype(np.int32)  # avoid int16 wraparound
+            else:
+                arr = top - arr
         slope, intercept = self.rescale
         if slope != 1.0 or intercept != 0.0:
             arr = arr.astype(np.float32) * slope + intercept
-        if self.photometric == "MONOCHROME1":
-            arr = arr.max() - arr
         return arr[0] if frames == 1 and arr.ndim == 3 else arr
 
     def _decode_native(
@@ -430,6 +463,11 @@ class DicomFile:
             raise DicomError(f"Unsupported BitsAllocated: {bits}")
 
         count = rows * cols * frames * spp
+        needed = count * np.dtype(dtype).itemsize
+        if len(payload) < needed:
+            raise DicomError(
+                f"PixelData truncated: {len(payload)} bytes < {needed} expected"
+            )
         arr = np.frombuffer(payload, dtype=dtype, count=count)
         if spp == 1:
             return arr.reshape(frames, rows, cols).astype(arr.dtype.newbyteorder("="))
@@ -522,7 +560,12 @@ class DicomFile:
                 if arr.ndim == 3:  # color fallback, matches _decode_native
                     arr = arr.astype(np.float32).mean(axis=-1)
                 if signed:
-                    arr = arr.astype(np.uint16).view(np.int16)
+                    # Reinterpret at the STORED width: viewing 8-bit data
+                    # as int16 would keep 128..255 positive.
+                    if self.bits_allocated == 8:
+                        arr = arr.astype(np.uint8).view(np.int8)
+                    else:
+                        arr = arr.astype(np.uint16).view(np.int16)
                 elif self.bits_allocated == 8:
                     arr = arr.astype(np.uint8)
                 slices.append(arr)
@@ -556,7 +599,13 @@ def _decode_rle_frame(
     PixelRepresentation), and multi-sample data (e.g. RGB = 3 segments,
     averaged to grayscale matching _decode_native's color fallback).
     """
+    if len(data) < 64:
+        raise DicomError(
+            f"RLE frame shorter than its 64-byte header ({len(data)} bytes)"
+        )
     n_segments = struct.unpack_from("<I", data, 0)[0]
+    if not 1 <= n_segments <= 15:
+        raise DicomError(f"RLE: invalid segment count {n_segments}")
     offsets = [struct.unpack_from("<I", data, 4 + 4 * i)[0] for i in range(15)]
     segments: list[np.ndarray] = []
     for i in range(n_segments):
@@ -655,10 +704,14 @@ def read_dicom_series(folder: Path) -> MedicalImage:
         raise ValueError(f"No DICOM series found in {folder}")
 
     # Group by series UID; take the first (parity: GetGDCMSeriesIDs[0]).
+    # Files without a SeriesInstanceUID (DICOMDIR, structured reports) group
+    # under "" which sorts before every real UID — never let that garbage
+    # group shadow a real series.
     series: dict[str, list[DicomFile]] = {}
     for f in files:
         series.setdefault(f.series_uid, []).append(f)
-    first_uid = sorted(series.keys())[0]
+    real_uids = sorted(uid for uid in series if uid)
+    first_uid = real_uids[0] if real_uids else sorted(series.keys())[0]
     slices = series[first_uid]
 
     iop = next((s.image_orientation for s in slices if s.image_orientation is not None), None)
@@ -671,10 +724,15 @@ def read_dicom_series(folder: Path) -> MedicalImage:
         col_dir = np.array([0.0, 1.0, 0.0])
         normal = np.array([0.0, 0.0, 1.0])
 
+    # Sort in ONE unit system: position projections (mm) only when every
+    # slice carries ImagePositionPatient — a lone missing-IPP slice keyed by
+    # its InstanceNumber would land at an arbitrary z and corrupt both the
+    # order and the median z-spacing.
+    all_positioned = all(s.image_position is not None for s in slices)
+
     def sort_key(s: DicomFile) -> float:
-        pos = s.image_position
-        if pos is not None:
-            return float(np.dot(pos, normal))
+        if all_positioned:
+            return float(np.dot(s.image_position, normal))
         return float(s.instance_number)
 
     slices.sort(key=sort_key)
@@ -691,7 +749,7 @@ def read_dicom_series(folder: Path) -> MedicalImage:
     volume = np.stack(planes)
 
     row_sp, col_sp = slices[0].pixel_spacing
-    if len(slices) > 1 and slices[0].image_position is not None:
+    if len(slices) > 1 and all_positioned:
         zs = [sort_key(s) for s in slices]
         diffs = np.diff(zs)
         z_sp = float(np.median(np.abs(diffs))) if len(diffs) else 1.0

@@ -151,3 +151,104 @@ def test_nrrd_space_directions_none(tmp_path):
     assert image.array.shape == (5, 4, 2)
     assert image.spacing[0] == pytest.approx(1.5)
     assert image.spacing[1] == pytest.approx(2.5)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 review regressions: series selection, MONOCHROME1, UN skip, raw VR
+# ---------------------------------------------------------------------------
+
+
+def _write_dicom_with(path, extra_body=b"", series_uid=b"1.2.3\x00",
+                      photometric=None, instance=b"1 ", value=7,
+                      include_pixels=True, include_uid=True):
+    ts = b"1.2.840.10008.1.2.1\x00"
+    meta = _element(0x0002, 0x0010, b"UI", ts)
+    rows, cols = 4, 6
+    parts = [_element(0x0008, 0x0060, b"CS", b"MR")]
+    if include_uid:
+        parts.append(_element(0x0020, 0x000E, b"UI", series_uid))
+    parts.append(_element(0x0020, 0x0013, b"IS", instance))
+    parts += [
+        _element(0x0028, 0x0010, b"US", struct.pack("<H", rows)),
+        _element(0x0028, 0x0011, b"US", struct.pack("<H", cols)),
+        _element(0x0028, 0x0100, b"US", struct.pack("<H", 16)),
+        _element(0x0028, 0x0103, b"US", struct.pack("<H", 0)),
+    ]
+    if photometric is not None:
+        parts.append(_element(0x0028, 0x0004, b"CS", photometric))
+    parts.append(extra_body)
+    if include_pixels:
+        pixels = np.full((rows, cols), value, dtype=np.uint16).tobytes()
+        parts.append(_element(0x7FE0, 0x0010, b"OW", pixels))
+    path.write_bytes(b"\x00" * 128 + b"DICM" + meta + b"".join(parts))
+
+
+def test_series_skips_empty_uid_group(tmp_path):
+    """A DICOMDIR-style file without SeriesInstanceUID (and without pixels)
+    groups under "" which sorts first — it must never shadow a real series."""
+    _write_dicom_with(tmp_path / "DICOMDIR", include_uid=False,
+                      include_pixels=False)
+    _write_dicom_with(tmp_path / "a.dcm", value=9)
+    volume = read_dicom_series(tmp_path)
+    assert volume.array.shape == (1, 4, 6)
+    assert int(volume.array[0, 0, 0]) == 9
+
+
+def test_monochrome1_inversion_is_slice_consistent(tmp_path):
+    """MONOCHROME1 inverts against the fixed stored-range maximum, not the
+    per-slice data max (which banded identical tissue across slices)."""
+    bits_stored_elem = _element(0x0028, 0x0101, b"US", struct.pack("<H", 12))
+    _write_dicom_with(tmp_path / "a.dcm", extra_body=bits_stored_elem,
+                      photometric=b"MONOCHROME1", value=100)
+    arr = DicomFile(tmp_path / "a.dcm").pixel_array()
+    assert int(arr[0, 0]) == (2**12 - 1) - 100
+
+
+def test_undefined_length_un_sequence_parses(tmp_path):
+    """Undefined-length UN contents are implicit VR (PS3.5 6.2.2): an
+    explicit-VR file with a transcoded private sequence must still parse."""
+    # UN, undefined length, one undefined-length item holding one implicit
+    # element, then item + sequence delimiters.
+    inner = struct.pack("<HHI", 0x0009, 0x0001, 4) + b"ABCD"  # implicit VR
+    item = struct.pack("<HHI", 0xFFFE, 0xE000, 0xFFFFFFFF) + inner
+    item += struct.pack("<HHI", 0xFFFE, 0xE00D, 0)
+    seq = (
+        struct.pack("<HH", 0x0009, 0x0010) + b"UN" + b"\x00\x00"
+        + struct.pack("<I", 0xFFFFFFFF) + item
+        + struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)
+    )
+    _write_dicom_with(tmp_path / "a.dcm", extra_body=seq, value=5)
+    arr = DicomFile(tmp_path / "a.dcm").pixel_array()
+    assert int(arr[0, 0]) == 5
+
+
+def test_raw_explicit_vr_dataset_sniffed(tmp_path):
+    """A preamble-less explicit-VR dataset is detected by its first VR."""
+    rows, cols = 4, 6
+    pixels = np.full((rows, cols), 3, dtype=np.uint16).tobytes()
+    body = b"".join(
+        [
+            _element(0x0008, 0x0060, b"CS", b"MR"),
+            _element(0x0028, 0x0010, b"US", struct.pack("<H", rows)),
+            _element(0x0028, 0x0011, b"US", struct.pack("<H", cols)),
+            _element(0x0028, 0x0100, b"US", struct.pack("<H", 16)),
+            _element(0x0028, 0x0103, b"US", struct.pack("<H", 0)),
+            _element(0x7FE0, 0x0010, b"OW", pixels),
+        ]
+    )
+    (tmp_path / "raw.dcm").write_bytes(body)
+    f = DicomFile(tmp_path / "raw.dcm")
+    assert f.pixel_array().shape == (4, 6)
+    assert int(f.pixel_array()[0, 0]) == 3
+
+
+def test_truncated_pixeldata_is_dicom_error(tmp_path):
+    from spine_vision_tpu.io.dicom import DicomError
+
+    rows, cols = 4, 6
+    short_pixels = np.full((rows, cols), 7, dtype=np.uint16).tobytes()[:-8]
+    body = _element(0x7FE0, 0x0010, b"OW", short_pixels)
+    _write_dicom_with(tmp_path / "a.dcm", include_pixels=False,
+                      extra_body=body)
+    with pytest.raises(DicomError, match="truncated"):
+        DicomFile(tmp_path / "a.dcm").pixel_array()
