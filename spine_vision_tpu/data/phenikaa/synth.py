@@ -289,9 +289,10 @@ def render_report_page(
 # datasets/phenikaa/ocr.py:24-145); here the robustness is trained in.
 #
 # Profiles: "mild" mirrors what training adds on top of the clean renderer;
-# "hard" is the held-out evaluation profile — strictly harsher than
-# anything seen in training (bigger rotations, stronger compression, more
-# clutter), so eval CER/recall are genuine generalization numbers.
+# "hard" is the held-out evaluation profile — distributionally harsher
+# (bigger rotations, stronger compression, more clutter; parameter ranges
+# overlap, so it is shifted rather than disjoint), giving eval CER/recall
+# a generalization signal the clean numbers can't.
 # ---------------------------------------------------------------------------
 
 DEGRADE_PROFILES = {
@@ -376,13 +377,12 @@ def degrade_image(
         arr = np.asarray(img, dtype=np.float32)
         if out_boxes is not None and len(out_boxes):
             a, b, c, d, e, f, g, hh = coeffs
-            # coeffs are the inverse map; invert the affine part to push
-            # box corners forward (the projective term is tiny).
-            det = a * e - b * d
-            ia, ib = e / det, -b / det
-            id_, ie = -d / det, a / det
-            ic = -(ia * c + ib * f)
-            if_ = -(id_ * c + ie * f)
+            # coeffs define the output->source homography; push box corners
+            # FORWARD through its exact inverse. (An affine-only inverse
+            # drifts by up to a text-line height at page corners under the
+            # projective term, painting detection targets off the glyphs.)
+            m = np.array([[a, b, c], [d, e, f], [g, hh, 1.0]])
+            minv = np.linalg.inv(m)
             corners = np.stack(
                 [
                     out_boxes[:, [0, 1]],
@@ -392,8 +392,10 @@ def degrade_image(
                 ],
                 axis=1,
             )  # [N, 4, 2]
-            xs = ia * corners[..., 0] + ib * corners[..., 1] + ic
-            ys = id_ * corners[..., 0] + ie * corners[..., 1] + if_
+            ones = np.ones((*corners.shape[:2], 1))
+            hom = np.concatenate([corners, ones], axis=-1) @ minv.T
+            xs = hom[..., 0] / hom[..., 2]
+            ys = hom[..., 1] / hom[..., 2]
             out_boxes = np.stack(
                 [xs.min(1), ys.min(1), xs.max(1), ys.max(1)], axis=1
             )

@@ -115,10 +115,17 @@ def _render_chunk_recognition(
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     from concurrent.futures import ThreadPoolExecutor
 
+    # Seeds are drawn on the caller's thread BEFORE the pool: a shared
+    # Generator drawn inside workers assigns seeds in scheduler order,
+    # making "deterministic given a Generator" silently false.
+    seeds = rng.integers(2**63, size=chunk)
+
     def one(i: int):
-        local = np.random.default_rng(rng.integers(2**63))
+        local = np.random.default_rng(seeds[i])
         # clean + MILD scan degradation (70% of lines); the held-out eval
-        # profile ("hard") is strictly harsher — see synth.DEGRADE_PROFILES.
+        # profile ("hard") is distributionally harsher — see
+        # synth.DEGRADE_PROFILES (ranges overlap; it is not strictly
+        # outside the training distribution).
         images, ids, pad, _ = synth.recognition_batch(
             local, batch, width=width, max_len=max_len,
             degrade="mild", degrade_p=0.7,
@@ -187,6 +194,12 @@ def train_recognizer(
         )
         return params, batch_stats, opt_state, losses
 
+    if steps % chunk:
+        # A partial trailing chunk changes run_chunk's leading dims and
+        # forces a full retrace for one chunk; round up instead.
+        rounded = ((steps + chunk - 1) // chunk) * chunk
+        logger.info("Rounding steps %d -> %d (chunk multiple)", steps, rounded)
+        steps = rounded
     done = 0
     start = time.time()
     while done < steps:
@@ -252,8 +265,11 @@ def _render_chunk_detection(
 ) -> tuple[np.ndarray, np.ndarray]:
     from concurrent.futures import ThreadPoolExecutor
 
+    # Pre-drawn seeds: see _render_chunk_recognition.
+    seeds = rng.integers(2**63, size=chunk)
+
     def one(i: int):
-        local = np.random.default_rng(rng.integers(2**63))
+        local = np.random.default_rng(seeds[i])
         pages, targets = [], []
         for _ in range(batch):
             page, boxes, _ = synth.detection_page(
@@ -328,6 +344,10 @@ def train_detector(
         )
         return params, batch_stats, opt_state, losses
 
+    if steps % chunk:
+        rounded = ((steps + chunk - 1) // chunk) * chunk
+        logger.info("Rounding steps %d -> %d (chunk multiple)", steps, rounded)
+        steps = rounded
     done = 0
     start = time.time()
     while done < steps:
@@ -430,8 +450,10 @@ def train_ocr_stack(
         output_path=out / "ocr_detector.npz",
     )
     # Off-distribution numbers: the "hard" scan-degradation profile is
-    # strictly harsher than anything in training (synth.DEGRADE_PROFILES) —
-    # these are the generalization metrics the clean ones can't give.
+    # distributionally harsher than training's "mild" (wider rotations,
+    # lower JPEG quality, more clutter; the ranges overlap, so individual
+    # samples are not strictly outside training) — the generalization
+    # signal the clean metrics can't give.
     cer_hard = evaluate_recognizer(
         TextRecognitionNet(), rec_vars, degrade="hard"
     )

@@ -71,7 +71,7 @@ def test_report_fields_extracted_from_degraded_page():
     """Round-3 robustness: the same end-to-end extraction must survive a
     scan-degraded page (mild profile: rotation/shear, JPEG artifacts,
     noise — synth.degrade_image). The shipped weights were trained with
-    mild degradation mixed in and evaluated on the strictly-harsher
+    mild degradation mixed in and evaluated on the distributionally-harsher
     "hard" profile (CER 0.029, detector recall 0.988 — train-ocr)."""
     from spine_vision_tpu.data.phenikaa import (
         BIRTHDAY_FIELD_PATTERN,
