@@ -26,6 +26,7 @@ import cv2
 import numpy as np
 
 from spine_vision_tpu import native
+from spine_vision_tpu.core import logger
 from spine_vision_tpu.core.tasks import AVAILABLE_TASK_NAMES, get_task
 from spine_vision_tpu.data.levels import (
     IDX_TO_LEVEL,
@@ -33,7 +34,10 @@ from spine_vision_tpu.data.levels import (
     NUM_LEVELS,
     SERIES_TYPE_TO_IDX,
 )
-from spine_vision_tpu.data.stratification import split_patients
+from spine_vision_tpu.data.stratification import (
+    _LABEL_TO_RECORD_KEY,
+    split_patients,
+)
 
 
 def _resize_rgb(img: np.ndarray, h: int, w: int) -> np.ndarray:
@@ -42,6 +46,13 @@ def _resize_rgb(img: np.ndarray, h: int, w: int) -> np.ndarray:
         return img
     planes = np.ascontiguousarray(img.transpose(2, 0, 1))
     return native.resize_bilinear_u8(planes, h, w).transpose(1, 2, 0)
+
+
+def _resize_gray(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Resize a HW uint8 plane via the native host-ops library."""
+    if img.shape == (h, w):
+        return img
+    return native.resize_bilinear_u8(np.ascontiguousarray(img[None]), h, w)[0]
 
 
 def _load_image_rgb(path: Path, size: tuple[int, int]) -> np.ndarray:
@@ -97,9 +108,26 @@ class LocalizationDataset:
             raise FileNotFoundError(f"Annotations not found: {annotations_path}")
 
         raw_records = self._load_annotations(annotations_path)
+        # Validate filters against what the data actually contains: a typo
+        # ('sag-t2', 'Spider') would otherwise silently empty the dataset
+        # and train zero batches per epoch.
         if series_types:
+            present = {r["series_type"] for r in raw_records}
+            unknown = set(series_types) - present
+            if unknown:
+                raise ValueError(
+                    f"series_types {sorted(unknown)} not present in "
+                    f"{annotations_path} (has {sorted(present)})"
+                )
             raw_records = [r for r in raw_records if r["series_type"] in series_types]
         if sources:
+            present = {r["source"] for r in raw_records}
+            unknown = set(sources) - present
+            if unknown:
+                raise ValueError(
+                    f"sources {sorted(unknown)} not present in "
+                    f"{annotations_path} (has {sorted(present)})"
+                )
             raw_records = [r for r in raw_records if r["source"] in sources]
 
         self.image_records = self._group_by_image(raw_records)
@@ -234,17 +262,9 @@ def construct_3channel(
 
 
 # Maps task name -> annotation record key (several reference modules carry
-# this table, e.g. stratification.py:37-47).
-LABEL_TO_RECORD_KEY: dict[str, str] = {
-    "pfirrmann": "pfirrmann",
-    "modic": "modic",
-    "herniation": "herniation",
-    "bulging": "bulging",
-    "upper_endplate": "upper_endplate",
-    "lower_endplate": "lower_endplate",
-    "spondy": "spondylolisthesis",
-    "narrowing": "narrowing",
-}
+# this table, e.g. stratification.py:37-47). Single definition shared with
+# the stratifier — two copies could drift silently when tasks change.
+LABEL_TO_RECORD_KEY = _LABEL_TO_RECORD_KEY
 
 
 class ClassificationDataset:
@@ -292,6 +312,8 @@ class ClassificationDataset:
             self.series_types = valid_series
 
         if target_labels is not None:
+            if not target_labels:
+                raise ValueError("target_labels must not be empty")
             invalid = set(target_labels) - set(AVAILABLE_TASK_NAMES)
             if invalid:
                 raise ValueError(
@@ -305,6 +327,12 @@ class ClassificationDataset:
         self.records = self._load_and_pair_annotations()
 
         if levels:
+            valid_levels = set(IDX_TO_LEVEL.values())
+            invalid = set(levels) - valid_levels
+            if invalid:
+                raise ValueError(
+                    f"Invalid levels: {invalid}. Valid: {sorted(valid_levels)}"
+                )
             level_set = set(levels)
             self.records = [
                 r
@@ -312,21 +340,28 @@ class ClassificationDataset:
                 if IDX_TO_LEVEL.get(r["level_idx"]) in level_set
             ]
 
-        unique_patients = self._get_unique_patients()
-        train_p, val_p, test_p = split_patients(
-            unique_patients,
-            self.records,
-            self.target_labels,
-            val_ratio,
-            test_ratio,
-            seed,
-        )
-        if split == "train":
-            self.records = [r for r in self.records if r["patient_key"] in train_p]
-        elif split == "val":
-            self.records = [r for r in self.records if r["patient_key"] in val_p]
-        elif split == "test":
-            self.records = [r for r in self.records if r["patient_key"] in test_p]
+        if split != "all":
+            unique_patients = self._get_unique_patients()
+            train_p, val_p, test_p = split_patients(
+                unique_patients,
+                self.records,
+                self.target_labels,
+                val_ratio,
+                test_ratio,
+                seed,
+            )
+            if split == "train":
+                self.records = [
+                    r for r in self.records if r["patient_key"] in train_p
+                ]
+            elif split == "val":
+                self.records = [
+                    r for r in self.records if r["patient_key"] in val_p
+                ]
+            elif split == "test":
+                self.records = [
+                    r for r in self.records if r["patient_key"] in test_p
+                ]
 
     def _load_and_pair_annotations(self) -> list[dict[str, Any]]:
         csv_path = self.data_path / "annotations.csv"
@@ -341,6 +376,25 @@ class ClassificationDataset:
                 ivd_level = int(row["ivd_level"])
                 series_type = row["series_type"]
                 key = (source, patient_id, ivd_level)
+                pfirrmann = int(row["pfirrmann_grade"])
+                modic = int(row["modic"])
+                if not 1 <= pfirrmann <= 5 or not 0 <= modic <= 3:
+                    # An out-of-range grade becomes an invalid class index
+                    # that one_hot silently zeroes — fail loudly instead.
+                    raise ValueError(
+                        f"Out-of-range label for {key}: pfirrmann_grade="
+                        f"{pfirrmann} (1-5), modic={modic} (0-3)"
+                    )
+                labels = {
+                    "pfirrmann": pfirrmann,
+                    "modic": modic,
+                    "herniation": int(row["disc_herniation"]),
+                    "bulging": int(row["disc_bulging"]),
+                    "upper_endplate": int(row["up_endplate"]),
+                    "lower_endplate": int(row["low_endplate"]),
+                    "spondylolisthesis": int(row["spondylolisthesis"]),
+                    "narrowing": int(row["disc_narrowing"]),
+                }
                 if key not in groups:
                     groups[key] = {
                         "source": source,
@@ -348,17 +402,24 @@ class ClassificationDataset:
                         "patient_key": f"{source}_{patient_id}",
                         "ivd_level": ivd_level,
                         "level_idx": ivd_level - 1,
-                        "pfirrmann": int(row["pfirrmann_grade"]),
-                        "modic": int(row["modic"]),
-                        "herniation": int(row["disc_herniation"]),
-                        "bulging": int(row["disc_bulging"]),
-                        "upper_endplate": int(row["up_endplate"]),
-                        "lower_endplate": int(row["low_endplate"]),
-                        "spondylolisthesis": int(row["spondylolisthesis"]),
-                        "narrowing": int(row["disc_narrowing"]),
+                        **labels,
                         "t1_path": None,
                         "t2_path": None,
                     }
+                else:
+                    conflicts = {
+                        k: (groups[key][k], v)
+                        for k, v in labels.items()
+                        if groups[key][k] != v
+                    }
+                    if conflicts:
+                        # T1/T2 rows of one IVD disagreeing on grades is
+                        # annotation drift — surface it (first row wins,
+                        # matching the reference).
+                        logger.warning(
+                            "Conflicting labels for %s: %s (keeping first)",
+                            key, conflicts,
+                        )
                 image_path = self.data_path / row["image_path"]
                 if series_type == "sag_t1":
                     groups[key]["t1_path"] = image_path
@@ -392,15 +453,26 @@ class ClassificationDataset:
 
     def __getitem__(self, idx: int) -> dict[str, Any]:
         record = self.records[idx]
+        # Load ONLY the requested modalities: with series_types=["sag_t2"] a
+        # record that happens to have a T1 sibling must still produce a
+        # T2-only [T2,T2,T2] image, not a mixed [T2,T1,T2] (the reference
+        # loads whatever exists, silently contaminating single-modality
+        # training — see MIGRATION.md).
+        h, w = self.output_size
         t1_arr = (
-            _load_image_gray(record["t1_path"]) if record["t1_path"] else None
+            _resize_gray(_load_image_gray(record["t1_path"]), h, w)
+            if record["t1_path"] and "sag_t1" in self.series_types
+            else None
         )
         t2_arr = (
-            _load_image_gray(record["t2_path"]) if record["t2_path"] else None
+            _resize_gray(_load_image_gray(record["t2_path"]), h, w)
+            if record["t2_path"] and "sag_t2" in self.series_types
+            else None
         )
+        # Per-plane resize BEFORE stacking: a resumed builder run with a
+        # changed crop_size can leave mixed-size crops on disk, which would
+        # crash np.stack.
         rgb = construct_3channel(t2_arr, t1_arr)
-        h, w = self.output_size
-        rgb = _resize_rgb(rgb, h, w)
 
         all_targets: dict[str, Any] = {
             "pfirrmann": np.int32(record["pfirrmann"] - 1),

@@ -17,7 +17,8 @@ from sklearn.model_selection import StratifiedShuffleSplit
 
 from spine_vision_tpu.core.tasks import get_task
 
-# task name -> record key (duplicated in datasets to avoid an import cycle)
+# task name -> record key (the single definition; datasets re-exports it —
+# the dependency is one-way, so no import cycle)
 _LABEL_TO_RECORD_KEY = {
     "pfirrmann": "pfirrmann",
     "modic": "modic",
