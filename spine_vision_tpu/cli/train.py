@@ -49,7 +49,7 @@ def train_classification(config: ClassificationConfig) -> dict[str, float]:
         f"{result.best_metric:.4f}",
         result.best_epoch + 1,
     )
-    return trainer.evaluate()
+    return trainer.evaluate(visualize=config.visualize_predictions)
 
 
 def test_inference_command(

@@ -61,6 +61,11 @@ def create_tasks_for_training(
             raise ValueError(
                 f"Invalid target labels: {invalid}. Available: {AVAILABLE_TASK_NAMES}"
             )
+        if len(set(target_labels)) != len(target_labels):
+            # A duplicate task would be summed twice in the multi-task loss
+            # (the model dedups heads, so the duplicate silently doubles
+            # that task's weight).
+            raise ValueError(f"Duplicate target labels: {target_labels}")
         labels_to_use = list(target_labels)
 
     tasks: list[TaskConfig] = []
@@ -205,7 +210,6 @@ class ClassificationTrainer(BaseTrainer[ClassificationConfig]):
             output_mode="image",
             tracker=self.tracker,
         )
-        self._backbone_unfrozen = config.freeze_backbone_epochs == 0
 
     # ------------------------------------------------------------------
     # Traced pieces
@@ -262,22 +266,22 @@ class ClassificationTrainer(BaseTrainer[ClassificationConfig]):
             self._visualize_label_distribution()
 
     def on_epoch_begin(self, epoch: int) -> None:
-        if (
-            not self._backbone_unfrozen
-            and epoch >= self.config.freeze_backbone_epochs
-        ):
+        # self._frozen is BaseTrainer's single source of freeze state.
+        if self._frozen and epoch >= self.config.freeze_backbone_epochs:
             logger.info("Unfreezing backbone at epoch %d", epoch + 1)
             self.set_backbone_frozen(False)
-            self._backbone_unfrozen = True
 
     def on_train_end(self, result: TrainingResult) -> None:
+        # Curves only: the final test evaluation is the caller's step (the
+        # CLI runs trainer.evaluate(visualize=...) right after train() —
+        # evaluating here too ran the whole test split twice, and hid the
+        # evaluation inside a plotting try-block so a matplotlib failure
+        # silently skipped the test metrics).
         if is_main_process():
             try:
                 self.visualizer.plot_training_curves(
                     self.history, filename="training_curves"
                 )
-                if self.config.visualize_predictions:
-                    self.evaluate(visualize=True)
             except Exception as exc:
                 logger.warning("Final visualization failed: %s", exc)
             logger.info("Visualizations saved to: %s", self.config.logs_path)
@@ -343,6 +347,17 @@ class ClassificationTrainer(BaseTrainer[ClassificationConfig]):
     ) -> dict[str, float]:
         """Evaluate on the test split with optional confusion visualizations
         (reference classification.py:456-559)."""
+        import jax
+
+        if jax.process_count() > 1:
+            # Host-side metric accumulation needs the full output set; in a
+            # multi-process run each host holds only its shard (and fetching
+            # non-addressable shards raises). Evaluate the checkpoint in a
+            # single-process session instead.
+            raise NotImplementedError(
+                "evaluate() is single-controller only; load the checkpoint "
+                "in a single-process session to compute test metrics"
+            )
         if test_dataset is None:
             test_dataset = self._make_test_dataset()
         if len(test_dataset) == 0:
@@ -374,7 +389,8 @@ class ClassificationTrainer(BaseTrainer[ClassificationConfig]):
             batch = self._trim_batch(batch, n_valid)  # drop loader duplicates
             outputs_np = self._slice_outputs(outputs, n_valid)
             self.metrics.update(outputs_np, batch["targets"])
-            if visualize:
+            if visualize and is_main_process():
+                # Only the plotting process pays the RAM for raw test images.
                 probs = compute_probabilities_for_tasks(outputs_np, self._tasks)
                 for label in self._target_labels:
                     if label in probs:
@@ -411,7 +427,9 @@ class ClassificationTrainer(BaseTrainer[ClassificationConfig]):
                     target_labels=self._target_labels,
                     metadata=all_metadata,
                     max_samples_per_cell=(
-                        max_samples_per_cell or self.config.max_samples_per_cell
+                        max_samples_per_cell
+                        if max_samples_per_cell is not None
+                        else self.config.max_samples_per_cell
                     ),
                     filename_prefix="confusion_matrix_samples",
                 )

@@ -251,7 +251,13 @@ class LocalizationTrainer(BaseTrainer[LocalizationConfig]):
             self._backbone_unfrozen = True
 
     def on_train_end(self, result: TrainingResult) -> None:
-        if is_main_process():
+        import jax
+
+        # Single-controller only: _collect_split runs SPMD eval steps that
+        # every process would have to join — gating on is_main_process()
+        # alone would hang process 0 at the first collective in a
+        # multi-process run.
+        if jax.process_count() == 1 and is_main_process():
             self._generate_final_visualizations()
 
     def get_metric_for_checkpoint(
@@ -326,6 +332,14 @@ class LocalizationTrainer(BaseTrainer[LocalizationConfig]):
         self, test_dataset: LocalizationDataset | None = None
     ) -> dict[str, float]:
         """Evaluate on the test split (reference localization.py:469-533)."""
+        import jax
+
+        if jax.process_count() > 1:
+            # Single-controller only — see ClassificationTrainer.evaluate.
+            raise NotImplementedError(
+                "evaluate() is single-controller only; load the checkpoint "
+                "in a single-process session to compute test metrics"
+            )
         if test_dataset is None:
             test_dataset = LocalizationDataset(
                 data_path=self.config.data_path,

@@ -706,6 +706,14 @@ class BaseTrainer(Generic[TConfig]):
         outputs_list: list[Any] = []
         batches: list[Any] = []
         pc = self.val_loader.process_count
+        # Host-side metric computation is single-controller only: in a
+        # multi-process run each host holds 1/process_count of the eval
+        # outputs (and device_get on non-addressable shards raises), so a
+        # host-local F1/MED would diverge across processes and desynchronize
+        # the collective best-checkpoint/early-stop decisions. Multi-host
+        # gating uses val_loss, which is a replicated scalar weighted by the
+        # host-identical global valid count below.
+        collect = jax.process_count() == 1
         for batch in self.val_loader:
             device_batch, n_valid = self._shard_eval(batch)
             outputs, loss = self._eval_step(self.state, device_batch)
@@ -719,10 +727,11 @@ class BaseTrainer(Generic[TConfig]):
             weight = batch.get("_n_valid_global", n_valid * pc)
             total += float(jax.device_get(loss)) * weight
             count += weight
-            outputs_list.append(self._slice_outputs(outputs, n_valid))
-            batches.append(self._trim_batch(batch, n_valid))
+            if collect:
+                outputs_list.append(self._slice_outputs(outputs, n_valid))
+                batches.append(self._trim_batch(batch, n_valid))
         avg_loss = total / max(count, 1)
-        metrics = self._compute_metrics(outputs_list, batches)
+        metrics = self._compute_metrics(outputs_list, batches) if collect else {}
         return avg_loss, metrics
 
     def _plateau_step(self, val_loss: float) -> None:
