@@ -62,16 +62,16 @@ def extract_isotropic_middle_slice(
     if image.metadata.get("is_2d"):
         # 2D inputs are still resampled in-plane to iso (the reference's
         # full resample applies to them too); rows are the y axis, cols x.
-        plane = image.array[0].astype(np.float32)
+        # (_corner_aligned_resize_2d casts to float32 itself — no host copy.)
+        plane = image.array[0]
         sx, sy = float(image.spacing[0]), float(image.spacing[1])
         out_shape = (
             int(round(plane.shape[0] * sy / iso)),
             int(round(plane.shape[1] * sx / iso)),
         )
-        resampled2d = _corner_aligned_resize_2d(
+        return _corner_aligned_resize_2d(
             plane, out_shape, (iso / sy, iso / sx)
-        )
-        return resampled2d.astype(np.float32), (iso, iso)
+        ), (iso, iso)
 
     arr = np.asarray(image.array)
     spacing = [float(s) for s in image.spacing]  # (x, y, z)

@@ -81,3 +81,32 @@ def test_study_input_from_paths(tmp_path):
     assert study.t1_spacing == (0.3, 0.3)
     # Isotropic sizes: rows = 6 slices * 3.0 mm / 0.3 = 60, cols = 40 / 0.3.
     assert study.t1_slice.shape == (60, 133)
+
+
+def _signed_permutations():
+    from itertools import permutations, product
+
+    for perm in permutations(range(3)):
+        for signs in product((1.0, -1.0), repeat=3):
+            m = np.zeros((3, 3))
+            for col, (row, s) in enumerate(zip(perm, signs)):
+                m[row, col] = s
+            yield m
+
+
+@pytest.mark.parametrize("case", range(48))
+def test_fast_middle_slice_all_48_orientations(case):
+    """Every signed-permutation direction matrix (all axis-aligned
+    orientations incl. combined permutation+flip, which the small
+    _DIRECTIONS set misses) must match the naive resample+orient+slice."""
+    direction = list(_signed_permutations())[case]
+    rng = np.random.default_rng(case)
+    volume = rng.normal(100, 30, (6, 18, 14)).astype(np.float32)
+    image = MedicalImage(
+        array=volume, spacing=(0.8, 1.1, 2.7), direction=direction
+    )
+    want, want_spacing = _naive(image, iso=0.6)
+    got, got_spacing = extract_isotropic_middle_slice(image, iso=0.6)
+    assert got_spacing == pytest.approx(want_spacing)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-4, atol=1e-2)
