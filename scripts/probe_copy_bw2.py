@@ -15,7 +15,6 @@ the next iteration's input — no extra XLA pass pollutes the number):
 
 from __future__ import annotations
 
-import functools
 import time
 
 import jax

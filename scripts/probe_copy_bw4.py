@@ -11,7 +11,6 @@ Variants (all carry-chained, 134 MB bf16 payload):
 
 from __future__ import annotations
 
-import functools
 import time
 
 import jax

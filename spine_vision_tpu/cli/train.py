@@ -18,6 +18,24 @@ from spine_vision_tpu.train.classification import (
 from spine_vision_tpu.train.localization import LocalizationConfig, LocalizationTrainer
 
 
+def _multiprocess() -> bool:
+    import jax
+
+    return jax.process_count() > 1
+
+
+def _log_multiprocess_eval_skip(output_path: str) -> None:
+    # Trainer.evaluate() is single-controller only (host-side metric
+    # accumulation needs the full output set); a distributed CLI run must
+    # not die after a successful training, so point at the offline path.
+    logger.info(
+        "Skipping test-split evaluation: evaluate() is single-controller "
+        "only. Run `spine-vision-tpu evaluate --checkpoint %s` in a "
+        "single-process session to compute test metrics.",
+        output_path,
+    )
+
+
 def train_localization(config: LocalizationConfig) -> dict[str, float]:
     """Train the coordinate regressor, then evaluate on the test split."""
     logger.info("=" * 60)
@@ -32,6 +50,9 @@ def train_localization(config: LocalizationConfig) -> dict[str, float]:
         f"{result.best_metric:.4f}",
         result.best_epoch + 1,
     )
+    if _multiprocess():
+        _log_multiprocess_eval_skip(config.output_path)
+        return {}
     return trainer.evaluate()
 
 
@@ -49,6 +70,9 @@ def train_classification(config: ClassificationConfig) -> dict[str, float]:
         f"{result.best_metric:.4f}",
         result.best_epoch + 1,
     )
+    if _multiprocess():
+        _log_multiprocess_eval_skip(config.output_path)
+        return {}
     return trainer.evaluate(visualize=config.visualize_predictions)
 
 

@@ -129,13 +129,20 @@ def _fingerprint(
     for field in sorted(specs):
         spec = specs[field]
         parts.append(f"{field}:{spec['dtype']}:{tuple(spec['shape'])}")
-    # Content probes: first and last sample. Catches in-place label edits /
-    # regenerated images that keep count and shapes (the common staleness
-    # the spec-only fingerprint missed). ``first`` is passed in so the
-    # caller's already-decoded sample 0 isn't decoded twice.
+    # Content probes: first, last, and a small deterministic interior
+    # sample (seeded by n, so the same dataset always probes the same
+    # rows). Catches in-place label edits / regenerated images that keep
+    # count and shapes — including interior-only edits the first/last
+    # probe missed. ``first`` is passed in so the caller's already-decoded
+    # sample 0 isn't decoded twice.
     parts.append(_content_hash(first))
     if n > 1:
         parts.append(_content_hash(dataset[n - 1]))
+    if n > 2:
+        rng = np.random.default_rng(n)
+        interior = rng.choice(n - 2, size=min(6, n - 2), replace=False) + 1
+        for idx in sorted(int(i) for i in interior):
+            parts.append(f"{idx}:{_content_hash(dataset[idx])}")
     return "|".join(parts)
 
 

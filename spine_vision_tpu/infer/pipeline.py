@@ -359,14 +359,18 @@ class StudyInferencePipeline:
         self.mesh = mesh
         if mesh is None:
             self._batch_multiple = 1
-            self._run = jax.jit(self._fused)
         else:
-            from spine_vision_tpu.parallel import batch_sharded_jit
-
             self._batch_multiple = mesh.shape[mesh.axis_names[0]]
-            self._run = batch_sharded_jit(
-                self._fused, mesh, n_replicated=2, n_sharded=3
-            )
+        self._run = self._make_run(include_crops=True)
+        self._run_nocrops: Any = None  # compiled lazily on first serve call
+
+    def _make_run(self, include_crops: bool) -> Any:
+        fn = functools.partial(self._fused, include_crops=include_crops)
+        if self.mesh is None:
+            return jax.jit(fn)
+        from spine_vision_tpu.parallel import batch_sharded_jit
+
+        return batch_sharded_jit(fn, self.mesh, n_replicated=2, n_sharded=3)
 
     # ------------------------------------------------------------------
     # The fused graph
@@ -378,6 +382,7 @@ class StudyInferencePipeline:
         slices: jax.Array,  # [N, S, Hp, Wp] float32, raw intensities
         hw: jax.Array,  # [N, S, 2] int32 true extents
         spacing: jax.Array,  # [N, S, 2] float32 (row, col) mm/px
+        include_crops: bool = True,  # trace-time flag (baked by _make_run)
     ) -> dict[str, Any]:
         cfg = self.config
         n, s, hp, wp = slices.shape
@@ -404,12 +409,14 @@ class StudyInferencePipeline:
             for k, v in logits.items()
         }
 
-        return {
+        out = {
             "coords": coords.reshape(n, s, cfg.num_levels, 2),
             "angles": angles.reshape(n, s, cfg.num_levels),
-            "crops": crops,
             "logits": logits,
         }
+        if include_crops:
+            out["crops"] = crops
+        return out
 
     # ------------------------------------------------------------------
     # Host orchestration
@@ -445,19 +452,23 @@ class StudyInferencePipeline:
     ) -> list[StudyResult]:
         """Run the fused graph on a batch of studies, decode on host.
 
-        ``fetch_crops=False`` skips the device->host transfer of the crop
-        tensor ([N, S, L, ch, cw] uint8 — by far the largest output) for
-        callers that only consume coords/predictions (the serving path);
-        ``StudyResult.crops`` is then None.
+        ``fetch_crops=False`` runs a variant of the fused graph whose traced
+        outputs omit the crop tensor ([N, S, L, ch, cw] uint8 — by far the
+        largest output) entirely, so the serving path neither materialises
+        nor transfers it; ``StudyResult.crops`` is then None. The variant is
+        compiled lazily on first use.
         """
         slices, hw, spacing = self._pack(studies)
+        if fetch_crops:
+            run = self._run
+        else:
+            if self._run_nocrops is None:
+                self._run_nocrops = self._make_run(include_crops=False)
+            run = self._run_nocrops
         # numpy straight into jit: with mesh in_shardings each shard is
         # placed host->device directly (jnp.asarray would stage the whole
         # batch on one device first, then reshard).
-        out = self._run(self.loc_variables, self.cls_variables, slices, hw, spacing)
-        if not fetch_crops:
-            out = dict(out)
-            out.pop("crops")
+        out = run(self.loc_variables, self.cls_variables, slices, hw, spacing)
         out = jax.device_get(out)
         results = []
         for i, study in enumerate(studies):

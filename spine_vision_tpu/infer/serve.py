@@ -88,10 +88,16 @@ def _claim_and_load(
     Runs on the prefetch thread; claiming = renaming into ``inflight/``, so
     a concurrent claim can never pick the same file (rename fails).
     """
-    requests = sorted(
-        (p for p in watch_dir.glob("*.json")),
-        key=lambda p: p.stat().st_mtime,
-    )[:max_batch]
+    def _mtime(p: Path) -> float:
+        # A concurrent server can rename the file away between glob() and
+        # stat(); a vanished entry must not kill the prefetch thread — the
+        # rename below is the claim arbiter, so just sort it last.
+        try:
+            return p.stat().st_mtime
+        except OSError:
+            return float("inf")
+
+    requests = sorted(watch_dir.glob("*.json"), key=_mtime)[:max_batch]
     batch = _Batch()
     for path in requests:
         staged = inflight_dir / path.name

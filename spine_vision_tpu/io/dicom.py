@@ -21,7 +21,7 @@ from __future__ import annotations
 import struct
 import zlib
 from pathlib import Path
-from typing import Any, BinaryIO
+from typing import Any
 
 import numpy as np
 
@@ -435,7 +435,14 @@ class DicomFile:
             # after rescale would flip calibrated units. (GDCM/SimpleITK do
             # not invert at all; the fixed-reference inversion keeps
             # "bright = high signal" without the per-slice inconsistency.)
-            top = 2 ** self.bits_stored - 1
+            # Signed stored values (pixel_representation == 1) span
+            # [-2^(b-1), 2^(b-1)-1]; invert against the SIGNED maximum so the
+            # inverted values stay inside the stored range instead of being
+            # pushed up by the unsigned top.
+            if self.pixel_representation == 1:
+                top = 2 ** (self.bits_stored - 1) - 1
+            else:
+                top = 2 ** self.bits_stored - 1
             if np.issubdtype(arr.dtype, np.integer):
                 arr = top - arr.astype(np.int32)  # avoid int16 wraparound
             else:

@@ -21,8 +21,9 @@ ConvNeXt v1/v2, ViT/DeiT, Swin, EfficientNet (v1), and MobileNetV3.
 Validation: tree/shape parity per family plus FULL-MODEL numeric oracles —
 random torch-format weights run through a hand-written torch.nn.functional
 forward must match the converted Flax forward to ~1e-4
-(tests/test_convert.py::test_*_full_model_matches_torch_oracle for
-ResNet-18, ConvNeXt-tiny, and ViT-tiny).
+(tests/test_convert.py::test_*_full_model_matches_torch_oracle for all six
+families: ResNet-18, ConvNeXt-tiny, ViT-tiny, Swin-tiny, EfficientNet-B0,
+and MobileNetV3-small).
 """
 
 from __future__ import annotations

@@ -8,7 +8,7 @@ factory with custom registration, and a MultiTaskHead. All heads map
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Callable, Literal
 
 import flax.linen as nn

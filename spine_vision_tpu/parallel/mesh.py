@@ -220,14 +220,23 @@ def data_parallel_mesh() -> Mesh:
 
 
 def batch_sharded_jit(
-    fn: Any, mesh: Mesh, n_replicated: int, n_sharded: int
+    fn: Any,
+    mesh: Mesh,
+    n_replicated: int,
+    n_sharded: int,
+    gather_outputs: bool = False,
 ) -> Any:
     """jit ``fn`` for data-parallel execution over ``mesh``.
 
     The first ``n_replicated`` positional args (weight pytrees) are
     replicated; the following ``n_sharded`` args are sharded along the
     mesh's FIRST axis (their leading dim must be a multiple of that axis
-    size); outputs are gathered to replicated for host decode.
+    size). Outputs stay batch-sharded by default (every pipeline output is
+    batch-leading, and a single-process ``jax.device_get`` assembles sharded
+    arrays without an on-device all-gather — replicating e.g. the
+    [N, S, L, ch, cw] crop tensor across devices wastes ICI + HBM on the
+    serve path). Pass ``gather_outputs=True`` for replicated outputs (needed
+    if shards are consumed on-device by non-addressable processes).
     """
     axis = mesh.axis_names[0]
     batch = NamedSharding(mesh, P(axis))
@@ -235,7 +244,7 @@ def batch_sharded_jit(
     return jax.jit(
         fn,
         in_shardings=(replicated,) * n_replicated + (batch,) * n_sharded,
-        out_shardings=replicated,
+        out_shardings=replicated if gather_outputs else batch,
     )
 
 

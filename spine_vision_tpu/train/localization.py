@@ -9,7 +9,6 @@ runs on device (ops.augment) — fixing the reference's label-inconsistent augs.
 
 from __future__ import annotations
 
-from pathlib import Path
 from typing import Any, Callable, Literal
 
 import jax

@@ -14,7 +14,6 @@ costs ~80 ms).
 
 from __future__ import annotations
 
-import functools
 import time
 from pathlib import Path
 from typing import Any

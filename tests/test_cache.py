@@ -68,10 +68,11 @@ def test_packed_view_reuses_and_rebuilds(tmp_path):
     builds_after_first = ds.loads
     assert builds_after_first >= len(ds)
 
-    # Reuse: only the fingerprint probes (first + last sample) are decoded.
+    # Reuse: only the fingerprint probes (first + last + <=6 seeded
+    # interior rows) are decoded, never the whole dataset.
     ds2 = _SynthClsDataset()
     packed = packed_view(ds2, tmp_path / "c", num_workers=2, fingerprint_token="a")
-    assert ds2.loads == 2
+    assert ds2.loads <= 8 < len(ds2)
     _assert_sample_equal(packed[3], ds2[3])
 
     # Token change -> stale -> rebuild.
@@ -83,6 +84,30 @@ def test_packed_view_reuses_and_rebuilds(tmp_path):
     ds4 = _SynthClsDataset(n=8)
     packed4 = packed_view(ds4, tmp_path / "c", num_workers=2, fingerprint_token="b")
     assert len(packed4) == 8
+
+
+def test_interior_edit_triggers_rebuild(tmp_path):
+    """An in-place edit of a probed interior row (count/shapes unchanged)
+    must change the fingerprint and rebuild (ADVICE round 3)."""
+    ds = _SynthClsDataset()
+    packed_view(ds, tmp_path / "c", num_workers=2, fingerprint_token="a")
+
+    # Same seeded probe-row selection as data/cache.py::_fingerprint.
+    n = len(ds)
+    probe = np.random.default_rng(n).choice(n - 2, size=min(6, n - 2), replace=False) + 1
+    target = int(sorted(int(i) for i in probe)[0])
+
+    class Edited(_SynthClsDataset):
+        def __getitem__(self, idx):
+            s = super().__getitem__(idx)
+            if idx == target:
+                s["targets"]["pfirrmann"] = np.int32((int(s["targets"]["pfirrmann"]) + 1) % 5)
+            return s
+
+    ds2 = Edited()
+    packed = packed_view(ds2, tmp_path / "c", num_workers=2, fingerprint_token="a")
+    assert ds2.loads >= len(ds2)  # rebuilt, not served stale
+    _assert_sample_equal(packed[target], ds2[target])
 
 
 def test_corrupt_index_triggers_rebuild(tmp_path):

@@ -31,6 +31,7 @@ from spine_vision_tpu.io.writers import write_medical_image
 # (JpegLosslessError is one) or a struct/key/index error from a truncated
 # header — but NOT TypeError/AttributeError/RecursionError etc.
 _CLEAN_ERRORS = (ValueError, KeyError, IndexError, struct.error, EOFError, OSError)
+assert issubclass(JpegLosslessError, ValueError)  # the claim above, enforced
 
 
 @contextmanager
