@@ -181,6 +181,31 @@ def _cls_train_throughput(batch: int) -> float:
     return batch * 10 / elapsed
 
 
+def _ocr_pages_per_s(n_pages: int = 16, reps: int = 4) -> float:
+    """Batched OCR throughput (BASELINE.json config 5): detect -> rectify ->
+    recognize over rendered Vietnamese report pages with the SHIPPED
+    weights. One detector forward + one recognizer forward per batch
+    (DocumentExtractor.extract_from_images); the reference's bar is a
+    serial per-box VietOCR loop (reference ocr.py:136-145)."""
+    from spine_vision_tpu.data.phenikaa import synth
+    from spine_vision_tpu.data.phenikaa.ocr import DocumentExtractor
+
+    rng = np.random.default_rng(0)
+    pages = [
+        synth.detection_page(rng, (320, 448), degrade="mild", degrade_p=0.5)[0]
+        for _ in range(n_pages)
+    ]
+    extractor = DocumentExtractor()
+    out = extractor.extract_from_images(pages)  # compile + warm
+    if sum(len(t) for t in out) == 0:
+        raise RuntimeError("OCR produced no text on the bench pages")
+    start = time.perf_counter()
+    for _ in range(reps):
+        extractor.extract_from_images(pages)
+    elapsed = time.perf_counter() - start
+    return n_pages * reps / elapsed
+
+
 def bench_study_e2e() -> None:
     """Headline: fused two-stage study E2E (BASELINE.json config 4), with
     the full metric array (loc fwd, fwd+bwd, rotated, cls train) in the
@@ -200,7 +225,14 @@ def bench_study_e2e() -> None:
             "vs_baseline": round(REFERENCE_GPU_E2E_EST_MS / p50, 3),
         }
     )
-    extra = {"study_e2e_p95_ms": round(p95, 2), "reps": REPS}
+    extra = {
+        "study_e2e_p95_ms": round(p95, 2),
+        "reps": REPS,
+        # Canonical-number protocol (BASELINE.md): one tunnel session, one
+        # timestamp; BENCH_DETAIL.json mirrors this run verbatim.
+        "captured_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "backend": jax.default_backend(),
+    }
 
     try:
         rotated = _study_latencies(loc, loc_vars, cls, cls_vars, "rotated")
@@ -246,6 +278,22 @@ def bench_study_e2e() -> None:
         extra["convnext512_fwdbwd_img_s"] = round(fb, 1)
     except Exception as exc:
         extra["convnext512_fwdbwd_error"] = str(exc)[:200]
+
+    try:
+        ocr = _ocr_pages_per_s()
+        metrics.append(
+            {
+                "metric": "ocr_pages_per_s",
+                "value": round(ocr, 2),
+                "unit": "pages/sec/chip",
+                # No reference number exists (its VietOCR loop is serial
+                # per box, reference ocr.py:136-145); absolute pages/s is
+                # the baseline this framework establishes.
+                "vs_baseline": None,
+            }
+        )
+    except Exception as exc:
+        extra["ocr_error"] = str(exc)[:200]
 
     try:
         ct = _cls_train_throughput(CLS_BATCH)

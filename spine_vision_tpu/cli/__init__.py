@@ -378,6 +378,13 @@ def cli(argv: list[str] | None = None) -> int:
         from pathlib import Path
 
         bench = Path(__file__).resolve().parents[2] / "bench.py"
+        if not bench.exists():
+            # Wheel installs don't carry the repo-root harness.
+            parser.error(
+                "bench.py not found (the benchmark harness lives at the "
+                "repository root; run `spine-vision-tpu bench` from a "
+                "source checkout)"
+            )
         runpy.run_path(str(bench), run_name="__main__")
         return 0
 

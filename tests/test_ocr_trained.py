@@ -107,3 +107,31 @@ def test_report_fields_extracted_from_degraded_page():
         got_birthday,
         lines,
     )
+
+
+def test_batched_extraction_matches_serial():
+    """extract_from_images (one detector forward + one recognizer forward
+    for the whole batch — the serving/bench path) must produce exactly the
+    per-page extract_from_image results."""
+    from spine_vision_tpu.data.phenikaa import synth
+    from spine_vision_tpu.data.phenikaa.ocr import DocumentExtractor
+
+    rng = np.random.default_rng(7)
+    pages = [
+        synth.detection_page(rng, (320, 448), degrade="mild", degrade_p=0.5)[0]
+        for _ in range(3)
+    ]
+    extractor = DocumentExtractor()
+    batched = extractor.extract_from_images(pages)
+    serial = [extractor.extract_from_image(p) for p in pages]
+    assert sum(len(t) for t in batched) > 0, "no text detected on any page"
+    assert batched == serial
+
+
+def test_batched_extraction_empty_and_no_text():
+    from spine_vision_tpu.data.phenikaa.ocr import DocumentExtractor
+
+    extractor = DocumentExtractor()
+    assert extractor.extract_from_images([]) == []
+    blank = np.full((320, 448), 255.0, dtype=np.float32)
+    assert extractor.extract_from_images([blank, blank]) == [[], []]
