@@ -133,14 +133,23 @@ def parse_image_folder_name(folder_name: str) -> tuple[str, str | None]:
 
 
 def build_folder_lookup(image_path: Path) -> dict[str, FolderInfo]:
-    """Recursively index patient folders by ``name(_birthyear)`` key."""
+    """Recursively index patient folders (key = unique folder path).
+
+    Deviation from the reference (matching.py:158-186): the reference keys
+    the dict by ``name(_birthyear)``, so a patient with two study dates
+    (``NAME_20230101`` and ``NAME_20230601``) or two same-named patients
+    without a birth year in the folder name silently overwrite each other —
+    every matcher consumes ``.values()``, so the shadowed study can never be
+    matched again. Keying by the full path keeps every folder visible;
+    the name/birth-year semantics live in ``FolderInfo`` where the matchers
+    actually read them.
+    """
     folder_dict: dict[str, FolderInfo] = {}
     for path in Path(image_path).rglob("*"):
         if not path.is_dir() or not IMAGE_FOLDER_REGEX.match(path.name):
             continue
         name_part, birth_year = parse_image_folder_name(path.name)
-        key = f"{name_part}_{birth_year}" if birth_year else name_part
-        folder_dict[key] = FolderInfo(
+        folder_dict[str(path)] = FolderInfo(
             path=path, name_part=name_part, birth_year=birth_year
         )
     return folder_dict

@@ -13,15 +13,20 @@ error file when a request is malformed or its volumes cannot be read.
 Host IO overlaps device compute: volume decode + middle-slice extraction
 costs tens of ms per study — more than the ~7 ms/study fused graph — so a
 prefetch thread loads the NEXT batch while the device runs the current
-one. Batches are claimed by atomically renaming request files into
-``inflight/`` (so the prefetch can never double-pick), and orphaned
-inflight requests from a crashed server are re-queued at startup.
+one. Batches are claimed by atomically renaming request files into a
+per-server ``inflight/<host>-<pid>/`` directory (so a concurrent server can
+never double-pick, and a *starting* server can tell a live sibling's claims
+from a crashed server's). Startup recovery re-queues inflight requests
+whose owning pid on this host is dead; a foreign host's claims are left
+alone (scale-out across hosts should use per-host watch directories).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import shutil
+import socket
 import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
@@ -144,15 +149,72 @@ def serve_directory(
     for d in (watch_dir, output_dir, done_dir, failed_dir, inflight_dir):
         d.mkdir(parents=True, exist_ok=True)
 
-    # Crash recovery: a previous server may have died with claimed-but-
-    # unprocessed requests; re-queue them.
+    # Per-server claim directory: a starting server must not "recover" a
+    # LIVE sibling's claims (same watch dir, two servers is a supported
+    # config) — ownership is encoded in the directory name and liveness is
+    # checked by pid on this host.
+    host = socket.gethostname()
+    claim_dir = inflight_dir / f"{host}-{os.getpid()}"
+    claim_dir.mkdir(parents=True, exist_ok=True)
+
+    # Crash recovery: re-queue claims whose owner is dead. Loose files at
+    # the inflight root (older layout) are always re-queued.
     for orphan in inflight_dir.glob("*.json"):
         logger.warning("Re-queueing orphaned inflight request %s", orphan.name)
         orphan.rename(watch_dir / orphan.name)
+    for owner_dir in (d for d in inflight_dir.iterdir() if d.is_dir()):
+        if owner_dir == claim_dir:
+            continue
+        owner_host, _, owner_pid = owner_dir.name.rpartition("-")
+        if owner_host != host:
+            continue  # cannot check a foreign host's liveness
+        try:
+            os.kill(int(owner_pid), 0)
+            continue  # owner alive: its claims are not orphans
+        except (ValueError, ProcessLookupError):
+            pass  # dead or unparseable owner: recover
+        except PermissionError:
+            continue  # alive under another uid
+        for orphan in owner_dir.glob("*.json"):
+            logger.warning(
+                "Re-queueing inflight request %s from dead server %s",
+                orphan.name,
+                owner_dir.name,
+            )
+            orphan.rename(watch_dir / orphan.name)
+        try:
+            owner_dir.rmdir()
+        except OSError:
+            pass  # non-empty (non-json debris) or concurrently recovered
 
     stats = ServeStats()
+    try:
+        return _serve_loop(
+            pipeline, watch_dir, output_dir, done_dir, failed_dir, claim_dir,
+            poll_interval, max_batch, once, stop_event, stats,
+        )
+    finally:
+        try:
+            claim_dir.rmdir()  # leave no empty owner dir behind
+        except OSError:
+            pass
+
+
+def _serve_loop(
+    pipeline: StudyInferencePipeline,
+    watch_dir: Path,
+    output_dir: Path,
+    done_dir: Path,
+    failed_dir: Path,
+    claim_dir: Path,
+    poll_interval: float,
+    max_batch: int,
+    once: bool,
+    stop_event: Any,
+    stats: ServeStats,
+) -> ServeStats:
     with ThreadPoolExecutor(max_workers=1) as pool:
-        claim = lambda: _claim_and_load(watch_dir, inflight_dir, max_batch)  # noqa: E731
+        claim = lambda: _claim_and_load(watch_dir, claim_dir, max_batch)  # noqa: E731
         pending = pool.submit(claim)
         while True:
             batch = pending.result()

@@ -74,6 +74,12 @@ def read_nifti(path: Path) -> MedicalImage:
     # NIfTI data is Fortran-ordered over (x, y, z): reshape to (z, y, x).
     arr = arr.reshape(shape_xyz[::-1])
 
+    # NaN slope/intercept (seen in real-world headers) means "no scaling"
+    # (nibabel convention); without the guard a NaN would poison every voxel.
+    if np.isnan(scl_slope):
+        scl_slope = 0.0
+    if np.isnan(scl_inter):
+        scl_inter = 0.0
     if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
         arr = arr.astype(np.float32) * (scl_slope or 1.0) + scl_inter
     else:

@@ -320,6 +320,45 @@ def test_serve_requeues_orphaned_inflight(tiny_pipeline, tmp_path):
     assert not list(inflight.glob("*.json"))
 
 
+def test_serve_recovery_respects_live_owner(tiny_pipeline, tmp_path):
+    """Startup recovery must re-queue a DEAD server's claims but never a
+    live sibling's (same watch dir, two servers is a supported config)."""
+    import json
+    import os
+    import socket
+
+    from spine_vision_tpu.infer.serve import serve_directory
+    from spine_vision_tpu.io.types import MedicalImage
+    from spine_vision_tpu.io.writers import write_medical_image
+
+    rng = np.random.default_rng(22)
+    watch = tmp_path / "requests"
+    inflight = watch / "inflight"
+    host = socket.gethostname()
+    live_dir = inflight / f"{host}-{os.getpid()}"  # this test IS the live pid
+    dead_dir = inflight / f"{host}-999999999"  # pid can't exist (> pid_max)
+    live_dir.mkdir(parents=True)
+    dead_dir.mkdir(parents=True)
+    vol = rng.normal(100, 30, (4, 80, 80)).astype(np.float32)
+    t1, t2 = tmp_path / "t1.mha", tmp_path / "t2.mha"
+    write_medical_image(MedicalImage(array=vol, spacing=(0.45, 0.45, 3.0)), t1)
+    write_medical_image(MedicalImage(array=vol + 5, spacing=(0.45, 0.45, 3.0)), t2)
+    for d, sid in ((live_dir, "claimed_live"), (dead_dir, "claimed_dead")):
+        (d / f"{sid}.json").write_text(
+            json.dumps({"study_id": sid, "t1": str(t1), "t2": str(t2)})
+        )
+
+    out = tmp_path / "results"
+    stats = serve_directory(tiny_pipeline, watch, out, once=True)
+    # The dead server's claim was recovered and served; the live sibling's
+    # claim was left untouched where it was staged.
+    assert stats.processed == 1
+    assert (out / "claimed_dead.json").exists()
+    assert not (out / "claimed_live.json").exists()
+    assert (live_dir / "claimed_live.json").exists()
+    assert not dead_dir.exists()
+
+
 def test_two_servers_share_one_watch_dir(tiny_pipeline, tmp_path):
     """Two serve loops on the same watch directory: the atomic rename claim
     guarantees each request is processed exactly once, so serving scales

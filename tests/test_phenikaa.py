@@ -84,6 +84,23 @@ def test_find_matching_folder_birth_year_tiebreak(tmp_path):
     assert match is not None and match.name == "NGUYEN_VAN_A_1990_20240102"
 
 
+def test_folder_lookup_keeps_colliding_names(tmp_path):
+    """Same patient scanned on two dates (or two same-named patients with no
+    birth year in the folder name) must BOTH stay indexed; the reference's
+    name-keyed dict silently overwrote one (reference matching.py:158-186)."""
+    for name in ("TRAN_THI_B_20240101", "TRAN_THI_B_20240601"):
+        (tmp_path / name).mkdir()
+    folder_map = build_folder_lookup(tmp_path)
+    assert len(folder_map) == 2
+    # Distinct-name folders in different parents must also both survive.
+    (tmp_path / "siteA").mkdir()
+    (tmp_path / "siteA" / "LE_VAN_C_20240201").mkdir()
+    (tmp_path / "siteB").mkdir()
+    (tmp_path / "siteB" / "LE_VAN_C_20240201").mkdir()
+    folder_map = build_folder_lookup(tmp_path)
+    assert len(folder_map) == 4
+
+
 # ---------------------------------------------------------------------------
 # OCR stack
 # ---------------------------------------------------------------------------
