@@ -21,6 +21,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 from jax import Array
 
+from spine_vision_tpu.ops.batchnorm import TpuBatchNorm
+
 from spine_vision_tpu.models.resnet import SqueezeExcite
 
 
@@ -229,7 +231,7 @@ class EfficientNet(nn.Module):
     def __call__(self, x: Array, train: bool = False) -> Array:
         cfg = self.config
         norm = partial(
-            nn.BatchNorm,
+            TpuBatchNorm,
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-3,
@@ -337,7 +339,7 @@ class MobileNetV3(nn.Module):
     def __call__(self, x: Array, train: bool = False) -> Array:
         cfg = self.config
         norm = partial(
-            nn.BatchNorm,
+            TpuBatchNorm,
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-3,

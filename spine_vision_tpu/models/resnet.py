@@ -26,6 +26,9 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
+from spine_vision_tpu.ops.batchnorm import TpuBatchNorm
+from spine_vision_tpu.ops.pool import max_pool
+
 ModuleDef = Any
 
 
@@ -196,8 +199,11 @@ class ResNet(nn.Module):
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         cfg = self.config
+        # TpuBatchNorm: same variables/statistics as nn.BatchNorm but every
+        # full-size pass is one fused bf16 read/write (ops/batchnorm.py —
+        # flax's f32 upcast cost ~6.3 ms/step on the round-3 b256 trace).
         norm = partial(
-            nn.BatchNorm,
+            TpuBatchNorm,
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
@@ -222,7 +228,9 @@ class ResNet(nn.Module):
             )(x)
             x = norm(name="stem_bn")(x)
             x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        # Scatter-free pool: nn.max_pool's select_and_scatter gradient is
+        # serial on TPU (ops/pool.py; ~7.5 ms/step group on the round-3 trace).
+        x = max_pool(x, (3, 3), strides=(2, 2), padding=(1, 1))
 
         for stage_idx, num_blocks in enumerate(cfg.stage_sizes):
             base = 64 * (2**stage_idx)
