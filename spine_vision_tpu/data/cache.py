@@ -186,6 +186,10 @@ class PackedDataset:
         }
         with open(self.cache_dir / _META) as f:
             self.metadata = json.load(f)
+        # get_batch can mirror default_collate only while arrays sit at most
+        # one dict level deep (collate stacks exactly that far; deeper dicts
+        # collate as lists-of-dicts, which a field-wise gather can't produce).
+        self._batchable = all(f.count("/") <= 1 for f in self.fields)
 
     def __len__(self) -> int:
         return self.n
@@ -204,6 +208,46 @@ class PackedDataset:
         # across epochs.
         _merge_into(sample, copy.deepcopy(self.metadata[idx]))
         return sample
+
+    def get_batch(self, indices: Any) -> dict[str, Any] | None:
+        """Vectorized batch assembly: one fancy-index gather per field.
+
+        Returns the exact structure ``default_collate([self[i] for i in
+        indices])`` would build (arrays stacked along a new leading axis,
+        metadata values as per-sample lists), or ``None`` when the field
+        layout cannot mirror collate (arrays nested deeper than one dict
+        level) so the caller falls back to per-sample loading.
+
+        Why: the per-sample path pays ~B Python ``__getitem__`` calls plus a
+        ``np.stack`` copy per batch, all GIL-serialized — on the round-3
+        1-core host it capped the packed cache at ~4.2k img/s while the
+        device consumed 6.1k (BASELINE.md input-pipeline row). A per-field
+        ``arr[indices]`` is a single C-level gather from the page cache.
+        """
+        if not self._batchable:
+            return None
+        idx = np.asarray(indices, dtype=np.int64)
+        batch: dict[str, Any] = {}
+        for field, arr in self.fields.items():
+            value = np.asarray(arr[idx])
+            head, _, sub = field.partition("/")
+            if sub:
+                batch.setdefault(head, {})[sub] = value
+            else:
+                batch[head] = value
+        rows = [self.metadata[int(i)] for i in idx]
+        if rows and rows[0]:
+            # Mirror collate's one-level descent; deepcopy keeps the stored
+            # metadata pristine when consumers mutate their batch (the same
+            # contract __getitem__ honors).
+            for key, first in rows[0].items():
+                if isinstance(first, dict):
+                    dst = batch.setdefault(key, {})
+                    for sub in first:
+                        dst[sub] = [copy.deepcopy(r[key][sub]) for r in rows]
+                else:
+                    batch[key] = [copy.deepcopy(r[key]) for r in rows]
+        return batch
 
     def __getattr__(self, name: str) -> Any:
         # Only called when normal lookup fails: delegate to the source

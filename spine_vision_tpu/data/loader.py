@@ -195,6 +195,17 @@ class DataLoader:
         out_queue: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        # Vectorized batch path: a dataset exposing get_batch (the packed
+        # sample cache) assembles the whole batch in a few C-level gathers
+        # instead of B GIL-serialized __getitem__ calls + np.stack. Only
+        # valid when the batch structure is default_collate's; a custom
+        # collate_fn expects per-sample dicts.
+        fast_batch = (
+            getattr(self.dataset, "get_batch", None)
+            if self.collate_fn is default_collate
+            else None
+        )
+
         def producer() -> None:
             try:
                 with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
@@ -203,8 +214,12 @@ class DataLoader:
                     ):
                         if stop.is_set():
                             return
-                        samples = list(pool.map(self.dataset.__getitem__, bidx))
-                        batch = self.collate_fn(samples)
+                        batch = fast_batch(bidx) if fast_batch else None
+                        if batch is None:
+                            samples = list(
+                                pool.map(self.dataset.__getitem__, bidx)
+                            )
+                            batch = self.collate_fn(samples)
                         if global_valid % self.process_count:
                             # Padded global batch: every host gets the real
                             # global size; hosts holding duplicate rows also

@@ -201,3 +201,115 @@ def test_extra_field_in_later_sample_raises(tmp_path):
 
     with pytest.raises(ValueError, match="differ from sample 0"):
         build_packed_cache(_Drifting(), tmp_path / "c", num_workers=2)
+
+
+# ---------------------------------------------------------------------------
+# Vectorized batch path (get_batch)
+# ---------------------------------------------------------------------------
+
+
+def _assert_batch_equal(got, want):
+    assert set(got) == set(want)
+    for key, w in want.items():
+        g = got[key]
+        if isinstance(w, dict):
+            assert set(g) == set(w)
+            for sub in w:
+                if isinstance(w[sub], np.ndarray):
+                    np.testing.assert_array_equal(g[sub], w[sub])
+                    assert g[sub].dtype == w[sub].dtype
+                else:
+                    assert g[sub] == w[sub]
+        elif isinstance(w, np.ndarray):
+            np.testing.assert_array_equal(g, w)
+            assert g.dtype == w.dtype
+        else:
+            assert g == w
+
+
+def test_get_batch_mirrors_default_collate(tmp_path):
+    from spine_vision_tpu.data.loader import default_collate
+
+    ds = _MixedMetaDataset(n=10)  # mixed array/string metadata subtree
+    packed = packed_view(ds, tmp_path / "c", num_workers=2)
+    idx = [7, 0, 3, 3]  # out of order + a weighted-sampling duplicate
+    got = packed.get_batch(idx)
+    want = default_collate([packed[i] for i in idx])
+    _assert_batch_equal(got, want)
+
+
+def test_get_batch_metadata_isolated_per_row(tmp_path):
+    """Duplicate rows and repeated epochs must never share (or persist)
+    mutable metadata — the __getitem__ deepcopy contract."""
+    ds = _SynthClsDataset(n=6)
+    packed = packed_view(ds, tmp_path / "c", num_workers=2)
+    batch = packed.get_batch([2, 2])
+    batch["metadata"]["patient_id"][0] = "MUTATED"
+    assert batch["metadata"]["patient_id"][1] == "p002"
+    assert packed.get_batch([2])["metadata"]["patient_id"][0] == "p002"
+
+
+def test_get_batch_declines_deep_nesting(tmp_path):
+    """Arrays nested two dict levels deep collate as lists-of-dicts, which
+    a field-wise gather can't mirror -> get_batch must return None and the
+    loader must fall back to the per-sample path."""
+
+    class _Deep(_SynthClsDataset):
+        def __getitem__(self, idx):
+            sample = super().__getitem__(idx)
+            sample["aux"] = {"inner": {"deep": np.float32(idx)}}
+            return sample
+
+    ds = _Deep(n=8)
+    packed = packed_view(ds, tmp_path / "deep", num_workers=2)
+    assert packed.get_batch([0, 1]) is None
+    loader = DataLoader(packed, batch_size=4, shuffle=False, seed=0, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 2
+    # Fallback batch matches collate-of-__getitem__ exactly.
+    assert batches[0]["aux"]["inner"][1]["deep"] == np.float32(1)
+    np.testing.assert_array_equal(
+        batches[0]["image"][2], packed[2]["image"]
+    )
+
+
+def test_loader_uses_fast_path_and_matches_slow_path(tmp_path):
+    ds = _SynthClsDataset(n=16)
+    packed = packed_view(ds, tmp_path / "c", num_workers=2)
+    fast = list(DataLoader(packed, batch_size=4, shuffle=True, seed=3, num_workers=2))
+
+    class _NoFast:
+        """Same data, get_batch hidden -> forces the per-sample path."""
+
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __len__(self):
+            return len(self._inner)
+
+        def __getitem__(self, idx):
+            return self._inner[idx]
+
+    slow = list(
+        DataLoader(_NoFast(packed), batch_size=4, shuffle=True, seed=3, num_workers=2)
+    )
+    assert len(fast) == len(slow)
+    for f, s in zip(fast, slow):
+        _assert_batch_equal(f, s)
+
+
+def test_custom_collate_bypasses_fast_path(tmp_path):
+    """A custom collate_fn expects per-sample dicts; get_batch must not
+    preempt it."""
+    ds = _SynthClsDataset(n=8)
+    packed = packed_view(ds, tmp_path / "c", num_workers=2)
+
+    def images_only(samples):
+        return {"image": np.stack([s["image"] for s in samples])[..., 0]}
+
+    loader = DataLoader(
+        packed, batch_size=4, shuffle=False, seed=0, num_workers=2,
+        collate_fn=images_only,
+    )
+    b0 = next(iter(loader))
+    assert set(b0) == {"image"} and b0["image"].shape == (4, 16, 16)
