@@ -155,3 +155,27 @@ def test_localization_build(lumbar_coords_tree):
     arr = np.asarray(Image.open(images_dir / "pretrain_lsd_img2.jpg"))
     assert arr.dtype == np.uint8
     assert arr.max() > 200 and arr.min() < 50  # JPEG-lossy full range
+
+
+def test_rsna_series_mapping_keeps_duplicate_descriptions(tmp_path):
+    """RSNA 2024 studies often repeat a description (two "Sagittal T2/STIR"
+    acquisitions); the reference's description-keyed dict shadows one and
+    silently drops its coordinate rows (reference rsna.py:26-33) — the
+    series_id-keyed mapping must resolve BOTH."""
+    from spine_vision_tpu.data.rsna import get_series_type, load_series_mapping
+
+    csv_path = tmp_path / "train_series_descriptions.csv"
+    csv_path.write_text(
+        "study_id,series_id,series_description\n"
+        "100,7,Sagittal T2/STIR\n"
+        "100,8,Sagittal T2/STIR\n"
+        "100,9,Sagittal T1\n"
+        "200,7,Axial T2\n"
+    )
+    mapping = load_series_mapping(csv_path)
+    assert get_series_type(7, 100, mapping) == "Sagittal T2/STIR"
+    assert get_series_type(8, 100, mapping) == "Sagittal T2/STIR"
+    assert get_series_type(9, 100, mapping) == "Sagittal T1"
+    assert get_series_type(7, 200, mapping) == "Axial T2"
+    assert get_series_type(9, 999, mapping) is None  # unknown study
+    assert get_series_type(999, 100, mapping) is None  # unknown series
