@@ -158,10 +158,23 @@ def serve_directory(
     claim_dir.mkdir(parents=True, exist_ok=True)
 
     # Crash recovery: re-queue claims whose owner is dead. Loose files at
-    # the inflight root (older layout) are always re-queued.
+    # the inflight root (older layout) are always re-queued. Every rename
+    # tolerates FileNotFoundError: two servers restarted together race to
+    # recover the same orphans, and the loser finding the file already moved
+    # is the success case, not a startup crash.
+    def _requeue(orphan: Path, what: str) -> None:
+        try:
+            orphan.rename(watch_dir / orphan.name)
+        except FileNotFoundError:
+            return  # a sibling server recovered it first
+        logger.warning("Re-queueing %s %s", what, orphan.name)
+
     for orphan in inflight_dir.glob("*.json"):
-        logger.warning("Re-queueing orphaned inflight request %s", orphan.name)
-        orphan.rename(watch_dir / orphan.name)
+        _requeue(orphan, "orphaned inflight request")
+    # PID reuse: our own claim dir may be a dead predecessor's (same host,
+    # recycled pid). Nothing in it can be ours yet — re-queue it all.
+    for orphan in claim_dir.glob("*.json"):
+        _requeue(orphan, "stale inflight request (recycled pid)")
     for owner_dir in (d for d in inflight_dir.iterdir() if d.is_dir()):
         if owner_dir == claim_dir:
             continue
@@ -176,12 +189,7 @@ def serve_directory(
         except PermissionError:
             continue  # alive under another uid
         for orphan in owner_dir.glob("*.json"):
-            logger.warning(
-                "Re-queueing inflight request %s from dead server %s",
-                orphan.name,
-                owner_dir.name,
-            )
-            orphan.rename(watch_dir / orphan.name)
+            _requeue(orphan, f"inflight request (dead server {owner_dir.name})")
         try:
             owner_dir.rmdir()
         except OSError:

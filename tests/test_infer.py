@@ -335,25 +335,33 @@ def test_serve_recovery_respects_live_owner(tiny_pipeline, tmp_path):
     watch = tmp_path / "requests"
     inflight = watch / "inflight"
     host = socket.gethostname()
-    live_dir = inflight / f"{host}-{os.getpid()}"  # this test IS the live pid
+    live_dir = inflight / f"{host}-1"  # pid 1 always exists (init)
     dead_dir = inflight / f"{host}-999999999"  # pid can't exist (> pid_max)
+    recycled_dir = inflight / f"{host}-{os.getpid()}"  # our own pid: a dead
+    # predecessor's dir (no live sibling can share our pid) — must be adopted
     live_dir.mkdir(parents=True)
     dead_dir.mkdir(parents=True)
+    recycled_dir.mkdir(parents=True)
     vol = rng.normal(100, 30, (4, 80, 80)).astype(np.float32)
     t1, t2 = tmp_path / "t1.mha", tmp_path / "t2.mha"
     write_medical_image(MedicalImage(array=vol, spacing=(0.45, 0.45, 3.0)), t1)
     write_medical_image(MedicalImage(array=vol + 5, spacing=(0.45, 0.45, 3.0)), t2)
-    for d, sid in ((live_dir, "claimed_live"), (dead_dir, "claimed_dead")):
+    for d, sid in (
+        (live_dir, "claimed_live"),
+        (dead_dir, "claimed_dead"),
+        (recycled_dir, "claimed_recycled"),
+    ):
         (d / f"{sid}.json").write_text(
             json.dumps({"study_id": sid, "t1": str(t1), "t2": str(t2)})
         )
 
     out = tmp_path / "results"
     stats = serve_directory(tiny_pipeline, watch, out, once=True)
-    # The dead server's claim was recovered and served; the live sibling's
-    # claim was left untouched where it was staged.
-    assert stats.processed == 1
+    # The dead server's and the recycled-pid predecessor's claims were
+    # recovered and served; the live sibling's claim was left untouched.
+    assert stats.processed == 2
     assert (out / "claimed_dead.json").exists()
+    assert (out / "claimed_recycled.json").exists()
     assert not (out / "claimed_live.json").exists()
     assert (live_dir / "claimed_live.json").exists()
     assert not dead_dir.exists()
