@@ -48,6 +48,7 @@ def build_dataset(root: Path, n: int) -> None:
     for p in range(n_patients):
         pid = f"sp{p:04d}"
         grades = rng.integers(1, 6, size=5)
+        hern = rng.integers(0, 2, size=5)  # per level, shared by t1/t2 rows
         for series in ("sag_t1", "sag_t2"):
             for lvl in range(1, 6):
                 name = f"images/{pid}_L{lvl}_{series}.png"
@@ -61,7 +62,7 @@ def build_dataset(root: Path, n: int) -> None:
                         "series_type": series,
                         "source": "bench",
                         "pfirrmann_grade": int(grades[lvl - 1]),
-                        "disc_herniation": int(rng.integers(0, 2)),
+                        "disc_herniation": int(hern[lvl - 1]),
                         "disc_narrowing": 0,
                         "disc_bulging": 0,
                         "spondylolisthesis": 0,

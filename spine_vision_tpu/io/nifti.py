@@ -55,6 +55,15 @@ def read_nifti(path: Path) -> MedicalImage:
     dim = struct.unpack_from(f"{endian}8h", data, 40)
     ndim = dim[0]
     shape_xyz = [max(d, 1) for d in dim[1 : 1 + max(ndim, 3)]][:3]
+    if ndim > 3 and any(d > 1 for d in dim[4 : 1 + ndim]):
+        from spine_vision_tpu.core.logging import logger
+
+        logger.warning(
+            "NIfTI file %s has %d dimensions; reading only the first "
+            "3-D volume",
+            path,
+            ndim,
+        )
     datatype = struct.unpack_from(f"{endian}h", data, 70)[0]
     pixdim = struct.unpack_from(f"{endian}8f", data, 76)
     vox_offset = int(struct.unpack_from(f"{endian}f", data, 108)[0])
@@ -80,8 +89,10 @@ def read_nifti(path: Path) -> MedicalImage:
         scl_slope = 0.0
     if np.isnan(scl_inter):
         scl_inter = 0.0
-    if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
-        arr = arr.astype(np.float32) * (scl_slope or 1.0) + scl_inter
+    # scl_slope == 0 disables scaling entirely per the NIfTI-1 spec — the
+    # intercept must be ignored too (ITK's MustRescale and nibabel agree).
+    if scl_slope != 0.0 and (scl_slope != 1.0 or scl_inter != 0.0):
+        arr = arr.astype(np.float32) * scl_slope + scl_inter
     else:
         arr = arr.astype(arr.dtype.newbyteorder("="))
 

@@ -100,6 +100,25 @@ def test_write_read_roundtrip(tmp_path, suffix):
     np.testing.assert_allclose(back.spacing, image.spacing, rtol=1e-5)
 
 
+def test_nifti_zero_slope_disables_scaling(tmp_path):
+    """scl_slope == 0 means 'no scaling' per the NIfTI-1 spec: the intercept
+    must be ignored too (ITK MustRescale / nibabel agree), not applied with
+    an implied slope of 1."""
+    volume = np.arange(24, dtype=np.int16).reshape(2, 3, 4)
+    image = MedicalImage(array=volume, spacing=(1.0, 1.0, 1.0))
+    path = tmp_path / "vol.nii"
+    write_medical_image(image, path)
+    raw = bytearray(path.read_bytes())
+    import struct
+
+    struct.pack_into("<f", raw, 112, 0.0)  # scl_slope = 0
+    struct.pack_into("<f", raw, 116, 100.0)  # scl_inter (must be ignored)
+    path.write_bytes(bytes(raw))
+    back = read_medical_image(path)
+    np.testing.assert_array_equal(back.array, volume)
+    assert back.array.dtype == np.int16
+
+
 def test_dicom_series_write_read_roundtrip(tmp_path):
     rng = np.random.default_rng(1)
     volume = rng.integers(-500, 3000, (4, 16, 12)).astype(np.int16)
