@@ -169,6 +169,26 @@ def render_line(
     y0 = max(0, (height - (bbox[3] - bbox[1])) // 2 - bbox[1])
     draw.text((x0, y0), text, fill=0, font=font)
 
+    if augment:
+        # Stroke-weight augmentation: unseen faces differ in stroke width
+        # and contrast (italic diagonals run thinner than sheared-upright
+        # strokes). A 3x3 min/max filter on the dark-on-light rendering
+        # bolds/thins every stroke by ~1 px — the weight axis the six
+        # trained faces (Book/Bold only) cannot span.
+        weight_draw = rng.random()
+        if weight_draw < 0.2:
+            img = img.filter(ImageFilter.MinFilter(3))  # bolder
+        elif weight_draw < 0.35:
+            # Thinner: a FULL 3x3 max erases the 2 px stems these sizes
+            # render (measured: ~every thinned line went blank) — blend
+            # toward the eroded image for a sub-pixel thinning instead.
+            alpha = rng.uniform(0.35, 0.65)
+            thin = np.asarray(img.filter(ImageFilter.MaxFilter(3)), np.float32)
+            base = np.asarray(img, np.float32)
+            img = Image.fromarray(
+                np.clip(base + alpha * (thin - base), 0, 255).astype(np.uint8)
+            )
+
     slant = 0.0
     if augment and rng.random() < 0.5:
         # Glyph-slant augmentation: unseen oblique/italic faces slant at
