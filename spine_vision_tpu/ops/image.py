@@ -193,7 +193,13 @@ def resize_with_padding(image: Array, target_h: int, target_w: int) -> Array:
     if image.dtype == jnp.uint8:
         source = image.astype(jnp.float32)  # reference keeps uint8 values
     else:
-        source = normalize_minmax(image) * 255.0
+        # Same flat-array semantics as normalize_to_uint8 (and the
+        # reference, cropping.py:135): a constant image keeps its raw
+        # values instead of collapsing to black.
+        f = image.astype(jnp.float32)
+        source = jnp.where(
+            jnp.max(f) - jnp.min(f) > 0, normalize_minmax(image) * 255.0, f
+        )
     sampled = bilinear_sample(
         source,
         jnp.broadcast_to(sy, (target_h, target_w)),

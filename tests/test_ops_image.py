@@ -87,6 +87,17 @@ def test_resize_with_padding_matches_reference(shape):
     assert ((ref == 0) & (diff > 0)).sum() == 0
 
 
+def test_resize_with_padding_flat_float_keeps_raw_values():
+    """A constant non-uint8 image keeps its raw gray level (reference
+    normalize_to_uint8 passes flat arrays through) instead of collapsing
+    to a black canvas."""
+    img = np.full((40, 80), 100.0, dtype=np.float32)
+    out = np.asarray(resize_with_padding(jnp.array(img), 64, 64))
+    inner = out[16:48, :]  # the letterboxed content rows
+    assert inner.min() == inner.max() == 100
+    assert out[:16].max() == 0 and out[48:].max() == 0  # padding stays zero
+
+
 def test_mm_to_pixels():
     # spacing (row, col) = (0.5, 0.25): horizontal deltas / col, vertical / row
     assert mm_to_pixels((55, 15, 17.5, 20), (0.5, 0.25)) == (220, 60, 35, 40)
