@@ -24,6 +24,7 @@ from spine_vision_tpu.data.builders.base import ProcessingResult
 from spine_vision_tpu.data.phenikaa.matching import (
     PatientMatcher,
     fuzzy_value_extract,
+    fuzzy_value_extract_spatial,
 )
 from spine_vision_tpu.data.phenikaa.ocr import DocumentExtractor
 
@@ -108,20 +109,23 @@ class IdNamedReportProcessor(ReportProcessor):
             logger.warning("Could not parse ID from filename: %s", report_path.name)
             return None
 
-        text_lines = extractor.extract(report_path)
-        if not text_lines:
+        lines = extractor.extract_lines(report_path)
+        if not lines:
             logger.warning("No text extracted from report: %s", report_path)
             return None
 
-        patient_name = fuzzy_value_extract(
-            text_lines, NAME_FIELD_PATTERN, fuzzy_threshold, window_length=3
+        # Layout-aware extraction: same-line key/value split first (the
+        # reference's behavior), then the spatial label-beside/below
+        # fallback for real report layouts (matching.py).
+        patient_name = fuzzy_value_extract_spatial(
+            lines, NAME_FIELD_PATTERN, fuzzy_threshold, window_length=3
         )
         if not patient_name:
             logger.warning("Could not extract name for ID %d", patient_id)
             return None
 
-        patient_birthday = fuzzy_value_extract(
-            text_lines, BIRTHDAY_FIELD_PATTERN, fuzzy_threshold, window_length=2
+        patient_birthday = fuzzy_value_extract_spatial(
+            lines, BIRTHDAY_FIELD_PATTERN, fuzzy_threshold, window_length=2
         )
         if not patient_birthday:
             logger.warning("Could not extract birthday for ID %d", patient_id)
@@ -189,27 +193,27 @@ class PatientNamedReportProcessor(ReportProcessor):
             if patient_id:
                 logger.debug("Extracted ID %d from PDF crop region", patient_id)
 
-        text_lines: list[str] | None = None
+        lines: list | None = None
         if patient_id is None:
-            text_lines = extractor.extract(report_path)
-            if not text_lines:
+            lines = extractor.extract_lines(report_path)
+            if not lines:
                 logger.warning("No text extracted from report: %s", report_path)
                 return None
-            id_str = fuzzy_value_extract(
-                text_lines, ID_FIELD_PATTERN, fuzzy_threshold, window_length=2
+            id_str = fuzzy_value_extract_spatial(
+                lines, ID_FIELD_PATTERN, fuzzy_threshold, window_length=2
             )
             patient_id = _id_from_text(id_str or "")
             if patient_id is None:
                 logger.warning("Could not extract ID for patient: %s", patient_name)
                 return None
 
-        if text_lines is None:
-            text_lines = extractor.extract(report_path)
+        if lines is None:
+            lines = extractor.extract_lines(report_path)
         patient_birthday = (
-            fuzzy_value_extract(
-                text_lines, BIRTHDAY_FIELD_PATTERN, fuzzy_threshold, window_length=2
+            fuzzy_value_extract_spatial(
+                lines, BIRTHDAY_FIELD_PATTERN, fuzzy_threshold, window_length=2
             )
-            if text_lines
+            if lines
             else None
         )
 

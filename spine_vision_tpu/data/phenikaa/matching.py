@@ -91,6 +91,82 @@ def fuzzy_value_extract(
     return None
 
 
+def fuzzy_value_extract_spatial(
+    lines: list[tuple[str, "np.ndarray"]],
+    field: str,
+    threshold: float = 80,
+    window_length: int = 2,
+) -> str | None:
+    """Layout-aware field extraction over (text, quad) OCR lines.
+
+    First applies the reference's same-line key/value split
+    (:func:`fuzzy_value_extract`). When that fails — real report layouts
+    print the label on its own line with the value BELOW it (boxed report
+    numbers) or in a separate column BESIDE it, which per-line splitting
+    cannot recover (the reference papers over this with a fixed PDF
+    crop-region fast path, reference phenikaa/__init__.py:135-287;
+    ocr.py:283-323) — it finds the line whose whole text matches the field
+    as a bare label and returns the text of the nearest detected line
+    either to its right with vertical overlap, or below it with horizontal
+    overlap. Quads are the detector's [4, 2] (x, y) TL TR BR BL boxes.
+    """
+    import numpy as np
+
+    texts = [t for t, _ in lines]
+    value = fuzzy_value_extract(texts, field, threshold, window_length)
+    if value:
+        return value
+
+    field_folded = field.lower()
+    boxes = []
+    for text, quad in lines:
+        q = np.asarray(quad, dtype=np.float64).reshape(4, 2)
+        boxes.append((text, q[:, 0].min(), q[:, 0].max(), q[:, 1].min(), q[:, 1].max()))
+
+    best_key = None
+    best_score = 0.0
+    for i, (text, *_rect) in enumerate(boxes):
+        folded = ascii_fold(text).lower().strip().rstrip(" :.-")
+        if not folded:
+            continue
+        score = fuzz.ratio(field_folded, folded)
+        if score >= threshold and score > best_score:
+            best_score = score
+            best_key = i
+    if best_key is None:
+        return None
+
+    _, kx1, kx2, ky1, ky2 = boxes[best_key]
+    key_h = max(ky2 - ky1, 1.0)
+    # Two tiers: a value in the key's own row (separate right-hand column)
+    # beats anything below it — when both exist, the same-row box is the
+    # pair. Distance caps keep a missed value from pairing the key with an
+    # arbitrary far-away line.
+    beside: list[tuple[float, str]] = []
+    below: list[tuple[float, str]] = []
+    for j, (text, x1, x2, y1, y2) in enumerate(boxes):
+        if j == best_key or not text.strip():
+            continue
+        yc = (y1 + y2) / 2.0
+        if (
+            x1 >= kx2 - key_h
+            and x1 - kx2 <= 10.0 * key_h
+            and ky1 - key_h / 2 <= yc <= ky2 + key_h / 2
+        ):
+            beside.append((x1 - kx2, text))
+        elif (
+            ky2 - key_h / 2 <= y1 <= ky2 + 3.0 * key_h
+            and min(x2, kx2) - max(x1, kx1) > 0
+        ):
+            below.append(((y1 - ky2) + abs(x1 - kx1) * 0.1, text))
+    candidates = beside or below
+    if not candidates:
+        return None
+    best_value = min(candidates)[1]
+    folded_value = ascii_fold(best_value).replace(" ", "")
+    return folded_value.lstrip(".:;").upper() or None
+
+
 def fuzzy_find_best_match(
     query: str,
     candidates: list[str],

@@ -258,9 +258,22 @@ class DocumentExtractor:
 
     def extract_from_image(self, image: np.ndarray) -> list[str]:
         """OCR an image into text lines (reading order)."""
+        return [text for text, _ in self.extract_lines_from_image(image)]
+
+    def extract_lines_from_image(
+        self, image: np.ndarray
+    ) -> list[tuple[str, np.ndarray]]:
+        """OCR an image into (text, quad) pairs.
+
+        The quad is the detector's [4, 2] (x, y) TL TR BR BL box — kept so
+        layout-aware extraction (matching.fuzzy_value_extract_spatial) can
+        pair a label-only line with the value printed below or beside it,
+        which per-line key/value splitting cannot recover.
+        """
         quads = np.asarray(self.detector.detect(image))
         patches = self._rectify(image, quads)
-        return self.recognizer.recognize_batch(patches)
+        texts = self.recognizer.recognize_batch(patches)
+        return list(zip(texts, quads))
 
     def extract_from_images(
         self, images: list[np.ndarray]
@@ -313,6 +326,25 @@ class DocumentExtractor:
             # convert(): palette/16-bit/LA modes would otherwise reach the
             # grayscale math as indices / out-of-range intensities.
             return self.extract_from_image(
+                np.asarray(Image.open(path).convert("RGB"))
+            )
+        except Exception as exc:  # noqa: BLE001 — isolate bad files
+            logger.warning("OCR failed for %s: %s", path, exc)
+            return []
+
+    def extract_lines(self, path: Path) -> list[tuple[str, np.ndarray]]:
+        """OCR a report file into (text, quad) pairs (same file contract as
+        :meth:`extract`: corrupt inputs return [] with a warning)."""
+        from PIL import Image
+
+        path = Path(path)
+        try:
+            if path.suffix.lower() == ".pdf":
+                page = self._render_first_page(path, self.pdf_dpi)
+                if page is None:
+                    return []
+                return self.extract_lines_from_image(page)
+            return self.extract_lines_from_image(
                 np.asarray(Image.open(path).convert("RGB"))
             )
         except Exception as exc:  # noqa: BLE001 — isolate bad files

@@ -403,6 +403,71 @@ def render_report_page(
     return np.asarray(img, dtype=np.float32)
 
 
+def render_report_page_variant(
+    patient_name: str,
+    birthday: str,
+    report_id: str,
+    rng: np.random.Generator,
+    page_hw: tuple[int, int] = (448, 640),
+    font_path: str | None = None,
+) -> np.ndarray:
+    """An UNSEEN-LAYOUT fake report page (evaluation only — never trained on).
+
+    Differs structurally from :func:`render_report_page`, which training and
+    the primary e2e test use: a letterhead with clutter lines, a boxed
+    report number in the top-right corner, label/value pairs at mixed
+    indentation with varying separator spacing, shuffled field order, a
+    horizontal rule, and per-line font sizes. Rendered with a held-out font
+    when one exists. Scores the detect->rectify->recognize->fuzzy-extract
+    chain on a layout distribution the models never saw (the reference
+    ships production OCR that handles arbitrary report layouts, reference
+    datasets/phenikaa/ocr.py:24-145).
+    """
+    from PIL import Image, ImageDraw, ImageFont
+
+    h, w = page_hw
+    path = font_path or (
+        HOLDOUT_FONT_PATHS[0] if HOLDOUT_FONT_PATHS else FONT_PATHS[0]
+    )
+    img = Image.new("L", (w, h), color=252)
+    draw = ImageDraw.Draw(img)
+
+    def text(x: int, y: int, s: str, size: int) -> None:
+        draw.text((x, y), s, fill=12, font=ImageFont.truetype(path, size))
+
+    # Letterhead + clutter the extractor must ignore.
+    text(20, 14, "SỞ Y TẾ HÀ NỘI", 15)
+    text(20, 36, "BỆNH VIỆN ĐẠI HỌC PHENIKAA", 19)
+    text(20, 62, "Đường Nguyễn Trác, Hà Đông", 13)
+    # Boxed report number top-right (ID separated from its label).
+    draw.rectangle((w - 220, 16, w - 24, 78), outline=60, width=2)
+    text(w - 208, 24, "Số phiếu:", 14)
+    text(w - 208, 46, report_id, 20)
+    draw.line((20, 92, w - 20, 92), fill=80, width=2)
+    text(170, 104, "PHIẾU CHỈ ĐỊNH CHỤP MRI", 18)
+
+    # Label/value pairs: shuffled order, mixed indentation and separator
+    # spacing (never all identical to the trained layout's "label: value").
+    fields = [
+        ("Họ tên người bệnh", patient_name),
+        ("Ngày sinh", birthday),
+        ("Giới tính", "Nữ" if rng.random() < 0.5 else "Nam"),
+        ("Địa chỉ", "Số 12 Tô Hiệu, Hà Đông, Hà Nội"),
+        ("Chẩn đoán", "Thoát vị đĩa đệm L4/L5"),
+    ]
+    order = rng.permutation(len(fields))
+    y = 148
+    for idx in order:
+        label, value = fields[idx]
+        indent = 24 if idx % 2 == 0 else 48
+        sep = ":" if rng.random() < 0.5 else " :"
+        size = int(rng.integers(16, 21))
+        text(indent, y, f"{label}{sep} {value}", size)
+        y += int(rng.integers(38, 50))
+    text(24, y + 10, f"Ngày chỉ định: {sample_date(rng)}", 14)
+    return np.asarray(img, dtype=np.float32)
+
+
 # ---------------------------------------------------------------------------
 # Scan-style degradation (round 3): geometric + photometric artifacts so the
 # OCR numbers mean something off the clean rendering distribution. The

@@ -135,3 +135,73 @@ def test_batched_extraction_empty_and_no_text():
     assert extractor.extract_from_images([]) == []
     blank = np.full((320, 448), 255.0, dtype=np.float32)
     assert extractor.extract_from_images([blank, blank]) == [[], []]
+
+
+def test_unseen_layout_report_fields_extracted():
+    """Unseen LAYOUT generalization: render_report_page_variant is a page
+    structure the models never trained on (letterhead clutter, a boxed
+    report number with the value below its label, two-column indentation,
+    shuffled field order), drawn with a held-out font. The same-line
+    extractor cannot recover the boxed ID at all; the spatial extractor
+    (fuzzy_value_extract_spatial) pairs the label with the box content.
+    Degraded variant: name + birthday must still extract (the boxed 14-px
+    ID under scan degradation remains out of reach for the shipped
+    weights — measured 1/5 pages — and is not asserted)."""
+    from spine_vision_tpu.data.phenikaa import (
+        BIRTHDAY_FIELD_PATTERN,
+        ID_FIELD_PATTERN,
+        NAME_FIELD_PATTERN,
+    )
+    from spine_vision_tpu.data.phenikaa import synth
+    from spine_vision_tpu.data.phenikaa.matching import (
+        ascii_fold,
+        fuzzy_match_score,
+        fuzzy_value_extract_spatial,
+    )
+    from spine_vision_tpu.data.phenikaa.ocr import DocumentExtractor
+
+    extractor = DocumentExtractor()
+
+    # Clean unseen-layout page: all three fields.
+    rng = np.random.default_rng(0)
+    name, birthday = synth.sample_name(rng), synth.sample_date(rng)
+    report_id = str(rng.integers(10**8, 10**9))
+    page = synth.render_report_page_variant(name, birthday, report_id, rng)
+    lines = extractor.extract_lines_from_image(page)
+    got_name = fuzzy_value_extract_spatial(
+        lines, NAME_FIELD_PATTERN, 80, window_length=3
+    )
+    got_birthday = fuzzy_value_extract_spatial(
+        lines, BIRTHDAY_FIELD_PATTERN, 80, window_length=2
+    )
+    got_id = fuzzy_value_extract_spatial(
+        lines, ID_FIELD_PATTERN, 80, window_length=2
+    )
+    texts = [t for t, _ in lines]
+    assert got_name is not None, texts
+    assert fuzzy_match_score(ascii_fold(got_name), ascii_fold(name)) >= 80, (
+        got_name,
+        texts,
+    )
+    assert got_birthday is not None and birthday.split("/")[-1] in got_birthday
+    assert got_id is not None and report_id in got_id.replace(" ", ""), (
+        got_id,
+        texts,
+    )
+
+    # Scan-degraded unseen-layout page: name + birthday.
+    rng = np.random.default_rng(1)
+    name, birthday = synth.sample_name(rng), synth.sample_date(rng)
+    report_id = str(rng.integers(10**8, 10**9))
+    page = synth.render_report_page_variant(name, birthday, report_id, rng)
+    page = synth.degrade_image(page, rng, profile="mild")
+    lines = extractor.extract_lines_from_image(page)
+    got_name = fuzzy_value_extract_spatial(
+        lines, NAME_FIELD_PATTERN, 80, window_length=3
+    )
+    got_birthday = fuzzy_value_extract_spatial(
+        lines, BIRTHDAY_FIELD_PATTERN, 80, window_length=2
+    )
+    assert got_name is not None
+    assert fuzzy_match_score(ascii_fold(got_name), ascii_fold(name)) >= 80
+    assert got_birthday is not None and birthday.split("/")[-1] in got_birthday

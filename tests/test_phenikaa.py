@@ -63,6 +63,56 @@ def test_fuzzy_value_extract():
     assert fuzzy_value_extract(lines, "Khong ton tai", 80, 2) is None
 
 
+def _quad(x1, y1, x2, y2):
+    return np.array(
+        [[x1, y1], [x2, y1], [x2, y2], [x1, y2]], dtype=np.float32
+    )
+
+
+def test_fuzzy_value_extract_spatial_label_below_and_beside():
+    from spine_vision_tpu.data.phenikaa.matching import (
+        fuzzy_value_extract_spatial,
+    )
+
+    lines = [
+        ("BENH VIEN PHENIKAA", _quad(20, 10, 300, 30)),
+        # Boxed report number: label on its own line, value below it.
+        ("So phieu:", _quad(400, 10, 500, 30)),
+        ("250012345", _quad(405, 40, 520, 65)),
+        # Two-column pair: label left, value in a separate right-column box.
+        ("Ngay sinh", _quad(20, 100, 120, 125)),
+        ("02/03/1985", _quad(160, 102, 280, 126)),
+        # Same-line pair must keep taking the same-line split.
+        ("Ho ten nguoi benh: Nguyen Van Binh", _quad(20, 150, 420, 175)),
+    ]
+    assert (
+        fuzzy_value_extract_spatial(lines, "So phieu", 80, 2) == "250012345"
+    )
+    assert (
+        fuzzy_value_extract_spatial(lines, "Ngay sinh", 80, 2) == "02/03/1985"
+    )
+    assert (
+        fuzzy_value_extract_spatial(lines, "Ho ten nguoi benh", 80, 3)
+        == "NGUYENVANBINH"
+    )
+    assert fuzzy_value_extract_spatial(lines, "Khong ton tai", 80, 2) is None
+
+
+def test_fuzzy_value_extract_spatial_prefers_nearest_candidate():
+    from spine_vision_tpu.data.phenikaa.matching import (
+        fuzzy_value_extract_spatial,
+    )
+
+    lines = [
+        ("So phieu:", _quad(100, 10, 200, 30)),
+        ("250099999", _quad(100, 120, 220, 145)),  # farther below
+        ("250012345", _quad(105, 40, 225, 65)),  # directly under the label
+    ]
+    assert (
+        fuzzy_value_extract_spatial(lines, "So phieu", 80, 2) == "250012345"
+    )
+
+
 def test_parse_image_folder_name():
     assert parse_image_folder_name("NGUYEN_VAN_A_1980_20240101") == (
         "NGUYENVANA",
@@ -186,6 +236,19 @@ class _FakeExtractor(DocumentExtractor):
 
     def extract(self, path: Path) -> list[str]:
         return self.per_report.get(Path(path).stem, [])
+
+    def extract_lines(self, path: Path) -> list[tuple[str, np.ndarray]]:
+        # Canned lines stacked vertically: line i occupies rows [40i, 40i+30).
+        return [
+            (
+                text,
+                np.array(
+                    [[10, 40 * i], [400, 40 * i], [400, 40 * i + 30], [10, 40 * i + 30]],
+                    dtype=np.float32,
+                ),
+            )
+            for i, text in enumerate(self.extract(path))
+        ]
 
     def extract_from_pdf_crop(self, path, crop_region, dpi=200):
         return []
