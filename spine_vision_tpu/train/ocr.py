@@ -434,6 +434,71 @@ def evaluate_detector(
     return matched / max(total, 1)
 
 
+def evaluate_layout_extraction(
+    det_vars: Any,
+    rec_vars: Any,
+    n_pages: int = 5,
+    seed: int = 0,
+    degrade: str | None = None,
+) -> float:
+    """Fraction of UNSEEN-LAYOUT report pages with all three fields
+    (name, birthday, boxed report ID) extracted end-to-end.
+
+    Pages come from synth.render_report_page_variant — a layout structure
+    (and, when available, a held-out font) the models never trained on —
+    and extraction runs the full detect -> rectify -> recognize ->
+    spatial-fuzzy-extract chain (matching.fuzzy_value_extract_spatial).
+    """
+    from spine_vision_tpu.data.phenikaa import (
+        BIRTHDAY_FIELD_PATTERN,
+        ID_FIELD_PATTERN,
+        NAME_FIELD_PATTERN,
+    )
+    from spine_vision_tpu.data.phenikaa.matching import (
+        ascii_fold,
+        fuzzy_match_score,
+        fuzzy_value_extract_spatial,
+    )
+    from spine_vision_tpu.data.phenikaa.ocr import (
+        DocumentExtractor,
+        TextDetector,
+        TextRecognizer,
+    )
+
+    rng = np.random.default_rng(seed)
+    extractor = DocumentExtractor(
+        detector=TextDetector(variables=det_vars),
+        recognizer=TextRecognizer(variables=rec_vars),
+    )
+    ok = 0
+    for _ in range(n_pages):
+        name = synth.sample_name(rng)
+        birthday = synth.sample_date(rng)
+        report_id = str(rng.integers(10**8, 10**9))
+        page = synth.render_report_page_variant(name, birthday, report_id, rng)
+        if degrade is not None:
+            page = synth.degrade_image(page, rng, profile=degrade)
+        lines = extractor.extract_lines_from_image(page)
+        got_name = fuzzy_value_extract_spatial(
+            lines, NAME_FIELD_PATTERN, 80, window_length=3
+        )
+        got_birthday = fuzzy_value_extract_spatial(
+            lines, BIRTHDAY_FIELD_PATTERN, 80, window_length=2
+        )
+        got_id = fuzzy_value_extract_spatial(
+            lines, ID_FIELD_PATTERN, 80, window_length=2
+        )
+        ok += (
+            got_name is not None
+            and fuzzy_match_score(ascii_fold(got_name), ascii_fold(name)) >= 80
+            and got_birthday is not None
+            and birthday.split("/")[-1] in got_birthday
+            and got_id is not None
+            and report_id in got_id.replace(" ", "")
+        )
+    return ok / max(n_pages, 1)
+
+
 def train_ocr_stack(
     output_dir: Path | None = None,
     recognizer_steps: int = 4000,
@@ -468,6 +533,13 @@ def train_ocr_stack(
         "detector_box_recall": recall,
         "recognizer_cer_degraded": cer_hard,
         "detector_box_recall_degraded": recall_hard,
+        # Unseen-LAYOUT end-to-end bar: all three report fields (incl. the
+        # boxed ID whose value sits below its label) extracted via the
+        # spatial fuzzy extractor from pages structured nothing like the
+        # training renderer's layout.
+        "layout_extraction_rate": evaluate_layout_extraction(
+            det_vars, rec_vars, n_pages=5, seed=seed
+        ),
     }
     # Unseen-font holdout (round-3 VERDICT item 5): whole DejaVu faces the
     # training renderer never drew from — Oblique/Italic/Display variants
