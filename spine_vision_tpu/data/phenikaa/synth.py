@@ -224,6 +224,88 @@ def render_line(
     return arr.astype(np.float32)
 
 
+def render_line_mpl(
+    text: str,
+    height: int = 32,
+    width: int = 256,
+    fontsize_px: float = 22.0,
+    style: str = "normal",
+    family: str = "DejaVu Sans",
+) -> np.ndarray:
+    """Render one text line through matplotlib's Agg text stack.
+
+    UNSEEN-RENDERER evaluation surface: every training line is rasterized by
+    PIL (``render_line``); this path goes through matplotlib's own freetype
+    layout/hinting/antialiasing pipeline instead — different kerning,
+    subpixel positioning, stroke contrast, and glyph scaling for the same
+    text. The reference ships production OCR tested on real scans
+    (reference datasets/phenikaa/ocr.py:24-145); scoring CER on a second,
+    independent rasterizer is this framework's renderer-generalization bar
+    (complements the unseen-FONT holdout, which varies glyph shapes instead).
+
+    Returns float32 [height, width] in [0, 255], dark glyphs on light.
+    """
+    from matplotlib.backends.backend_agg import FigureCanvasAgg
+    from matplotlib.figure import Figure
+    from PIL import Image
+
+    dpi = 72.0  # 1 pt == 1 px so fontsize_px maps directly
+    canvas_w = width * 2
+    fig = Figure(figsize=(canvas_w / dpi, height / dpi), dpi=dpi)
+    fig.patch.set_facecolor("white")
+    canvas = FigureCanvasAgg(fig)
+    fig.text(
+        3.0 / canvas_w,
+        0.5,
+        text,
+        fontsize=fontsize_px,
+        family=family,
+        style=style,
+        va="center",
+        ha="left",
+        color="black",
+    )
+    canvas.draw()
+    rgba = np.asarray(canvas.buffer_rgba())
+    gray = rgba[..., :3].astype(np.float32).mean(axis=-1)
+
+    cols = np.where(gray.min(axis=0) < 160)[0]
+    used_w = int(cols.max()) + 6 if cols.size else 8
+    img = Image.fromarray(
+        np.clip(gray, 0, 255).astype(np.uint8)[:, : max(used_w, 8)]
+    )
+    # Same squeeze-or-pad to the fixed patch width as render_line /
+    # rectify_polygons.
+    img = img.resize((width, height), Image.BILINEAR)
+    return np.asarray(img, dtype=np.float32)
+
+
+def recognition_eval_batch_mpl(
+    rng: np.random.Generator,
+    n: int,
+    width: int = 256,
+    style: str = "normal",
+) -> tuple[np.ndarray, list[str]]:
+    """Evaluation-only batch rendered by matplotlib (see render_line_mpl).
+
+    Font size varies over the training range; no degradation is applied —
+    the variable under test is the rasterizer itself.
+    """
+    texts = [sample_line_text(rng) for _ in range(n)]
+    images = np.stack(
+        [
+            render_line_mpl(
+                t,
+                width=width,
+                fontsize_px=float(rng.integers(18, 27)),
+                style=style,
+            )
+            for t in texts
+        ]
+    )
+    return images.astype(np.float32), texts
+
+
 def encode_text(text: str, max_len: int) -> tuple[np.ndarray, np.ndarray]:
     """Text -> (padded CTC target ids [max_len], padding mask [max_len]).
 

@@ -256,6 +256,28 @@ def evaluate_recognizer(
     return character_error_rate(ctc_greedy_decode(logits), texts)
 
 
+def evaluate_recognizer_mpl(
+    model: TextRecognitionNet,
+    variables: Any,
+    seed: int = 123,
+    n: int = 256,
+    width: int = 256,
+    style: str = "normal",
+) -> float:
+    """CER on lines rasterized by matplotlib instead of the PIL training
+    renderer (synth.render_line_mpl) — the unseen-RENDERER generalization
+    eval: same charset and text distribution, independent freetype
+    layout/hinting/antialiasing pipeline. ``style="italic"`` additionally
+    swaps in the oblique faces the trainer never saw."""
+    rng = np.random.default_rng(seed)
+    images, texts = synth.recognition_eval_batch_mpl(rng, n, width=width, style=style)
+    forward = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    logits = np.asarray(
+        forward(variables, jnp.asarray(images / 255.0, jnp.float32)[..., None])
+    )
+    return character_error_rate(ctc_greedy_decode(logits), texts)
+
+
 # ---------------------------------------------------------------------------
 # Detector training
 # ---------------------------------------------------------------------------
@@ -539,6 +561,12 @@ def train_ocr_stack(
         # training renderer's layout.
         "layout_extraction_rate": evaluate_layout_extraction(
             det_vars, rec_vars, n_pages=5, seed=seed
+        ),
+        # Unseen-RENDERER bar: same text distribution rasterized by
+        # matplotlib's independent freetype pipeline instead of the PIL
+        # training renderer (synth.render_line_mpl).
+        "recognizer_cer_unseen_renderer": evaluate_recognizer_mpl(
+            TextRecognitionNet(), rec_vars
         ),
     }
     # Unseen-font holdout (round-3 VERDICT item 5): whole DejaVu faces the
