@@ -37,6 +37,56 @@ def _stable_sigmoid(x: np.ndarray) -> np.ndarray:
     return out
 
 
+def _softmax(x: np.ndarray) -> np.ndarray:
+    """Row-wise stable softmax."""
+    x = x.astype(np.float64)
+    x = x - x.max(axis=-1, keepdims=True)
+    ex = np.exp(x)
+    return ex / ex.sum(axis=-1, keepdims=True)
+
+
+def roc_auc(scores: Any, labels: Any) -> float:
+    """Binary ROC-AUC via the rank statistic (Mann-Whitney U), tie-aware.
+
+    AUC = P(score_pos > score_neg) + 0.5 * P(score_pos == score_neg),
+    computed with average ranks so tied scores contribute 0.5. Returns NaN
+    when only one class is present (AUC is undefined). The reference has no
+    AUC metric anywhere; this exists because the rebuild's north star
+    (BASELINE.json) requires grading-AUC parity to be measurable.
+    """
+    scores = np.asarray(scores, dtype=np.float64).ravel()
+    labels = np.asarray(labels).ravel().astype(int)
+    n_pos = int(np.sum(labels == 1))
+    n_neg = int(np.sum(labels == 0))
+    if n_pos == 0 or n_neg == 0:
+        return float("nan")
+    # Average (1-based) rank per score value: tied values share the mean of
+    # the rank range they span.
+    _, inverse, counts = np.unique(scores, return_inverse=True, return_counts=True)
+    cum = np.cumsum(counts)
+    avg_rank_per_unique = cum - (counts - 1) / 2.0
+    ranks = avg_rank_per_unique[inverse]
+    u = float(np.sum(ranks[labels == 1])) - n_pos * (n_pos + 1) / 2.0
+    return float(u / (n_pos * n_neg))
+
+
+def macro_ovr_auc(probabilities: Any, targets: Any) -> float:
+    """Macro one-vs-rest ROC-AUC for multiclass probabilities [N, C].
+
+    Classes absent from (or filling all of) ``targets`` are skipped — their
+    one-vs-rest AUC is undefined. NaN when no class is scoreable.
+    """
+    probs = np.asarray(probabilities, dtype=np.float64)
+    targets = np.asarray(targets).ravel().astype(int)
+    aucs = []
+    for class_idx in range(probs.shape[1]):
+        ovr = (targets == class_idx).astype(int)
+        if ovr.min() == ovr.max():
+            continue
+        aucs.append(roc_auc(probs[:, class_idx], ovr))
+    return float(np.mean(aucs)) if aucs else float("nan")
+
+
 def _precision_recall_f1(tp: int, fp: int, fn: int) -> tuple[float, float, float]:
     precision = tp / (tp + fp) if (tp + fp) > 0 else 0.0
     recall = tp / (tp + fn) if (tp + fn) > 0 else 0.0
@@ -261,10 +311,13 @@ class ClassifierMetrics:
     """Multi-task metrics aggregator for the Classifier model.
 
     Per task: accuracy (+ balanced accuracy for multiclass; precision/recall/F1
-    for binary). Aggregates: ``overall_accuracy`` = mean accuracy across tasks;
-    ``f1`` for single-task setups, ``macro_f1`` across tasks otherwise (used
-    for checkpoint selection). Parity with reference
-    training/metrics.py:321-518.
+    for binary) and ROC-AUC (one-vs-rest macro for multiclass) when the task's
+    probabilities were seen and both classes occur. Aggregates:
+    ``overall_accuracy`` = mean accuracy across tasks; ``f1`` for single-task
+    setups, ``macro_f1`` across tasks otherwise (used for checkpoint
+    selection); ``macro_auc`` = mean of the defined per-task AUCs. Parity with
+    reference training/metrics.py:321-518 (which carries no AUC — the AUC rows
+    exist for the rebuild's BASELINE.json grading-AUC-parity requirement).
     """
 
     def __init__(
@@ -293,6 +346,8 @@ class ClassifierMetrics:
         self._task_types = task_types
 
         self._multiclass_metrics: dict[str, ClassificationMetrics] = {}
+        self._multiclass_probs: dict[str, list[np.ndarray]] = {}
+        self._multiclass_targets: dict[str, list[np.ndarray]] = {}
         self._binary_preds: dict[str, list[np.ndarray]] = {}
         self._binary_targets: dict[str, list[np.ndarray]] = {}
 
@@ -302,6 +357,8 @@ class ClassifierMetrics:
                 self._multiclass_metrics[label] = ClassificationMetrics(
                     num_classes=n, class_names=[f"class_{i}" for i in range(n)]
                 )
+                self._multiclass_probs[label] = []
+                self._multiclass_targets[label] = []
             elif task_type == "binary":
                 self._binary_preds[label] = []
                 self._binary_targets[label] = []
@@ -309,6 +366,9 @@ class ClassifierMetrics:
     def reset(self) -> None:
         for m in self._multiclass_metrics.values():
             m.reset()
+        for label in self._multiclass_probs:
+            self._multiclass_probs[label] = []
+            self._multiclass_targets[label] = []
         for label in self._binary_preds:
             self._binary_preds[label] = []
             self._binary_targets[label] = []
@@ -327,8 +387,13 @@ class ClassifierMetrics:
             pred = get_value(predictions, label)
             target = get_value(targets, label)
             if pred is not None and target is not None:
-                pred_classes = _to_np(pred).argmax(axis=1)
-                metrics.update(pred_classes, _to_np(target))
+                logits = _to_np(pred)
+                metrics.update(logits.argmax(axis=1), _to_np(target))
+                # Keep probabilities for the OvR AUC (logits only — a caller
+                # passing pre-argmaxed classes gets no AUC for this label).
+                if logits.ndim > 1:
+                    self._multiclass_probs[label].append(_softmax(logits))
+                    self._multiclass_targets[label].append(_to_np(target))
 
         for label in self._binary_preds:
             pred = get_value(predictions, label)
@@ -347,6 +412,7 @@ class ClassifierMetrics:
         """Compute per-task and aggregate metrics."""
         metrics: dict[str, float] = {}
         f1_scores: list[float] = []
+        auc_scores: list[float] = []
 
         for label, task_metrics in self._multiclass_metrics.items():
             computed = task_metrics.compute()
@@ -356,6 +422,14 @@ class ClassifierMetrics:
                     "balanced_accuracy", 0.0
                 )
                 f1_scores.append(computed.get("macro_f1", 0.0))
+            if self._multiclass_probs.get(label):
+                auc = macro_ovr_auc(
+                    np.concatenate(self._multiclass_probs[label], axis=0),
+                    np.concatenate(self._multiclass_targets[label], axis=0),
+                )
+                if not np.isnan(auc):
+                    metrics[f"{label}_auc"] = auc
+                    auc_scores.append(auc)
 
         for label, preds_list in self._binary_preds.items():
             if not preds_list:
@@ -381,6 +455,11 @@ class ClassifierMetrics:
             metrics[f"{label}_f1"] = f1
             f1_scores.append(f1)
 
+            auc = roc_auc(preds, t_binary)
+            if not np.isnan(auc):
+                metrics[f"{label}_auc"] = auc
+                auc_scores.append(auc)
+
         accs = [v for k, v in metrics.items() if k.endswith("_accuracy")]
         metrics["overall_accuracy"] = float(np.mean(accs)) if accs else 0.0
 
@@ -389,6 +468,10 @@ class ClassifierMetrics:
                 metrics["f1"] = float(f1_scores[0])
             else:
                 metrics["macro_f1"] = float(np.mean(f1_scores))
+        if auc_scores:
+            # Mean over tasks whose AUC was defined (degenerate single-class
+            # eval splits are skipped rather than poisoning the mean).
+            metrics["macro_auc"] = float(np.mean(auc_scores))
 
         return metrics
 
@@ -399,4 +482,6 @@ __all__ = [
     "ClassifierMetrics",
     "LocalizationMetrics",
     "MetricResult",
+    "macro_ovr_auc",
+    "roc_auc",
 ]

@@ -31,6 +31,7 @@ from typing import Any
 import numpy as np
 
 from spine_vision_tpu.core import logger
+from spine_vision_tpu.metrics import macro_ovr_auc, roc_auc
 
 LEVELS = ["L1/L2", "L2/L3", "L3/L4", "L4/L5", "L5/S1"]
 LEVEL_YS = (0.22, 0.35, 0.48, 0.61, 0.74)  # normalized disc-center rows
@@ -299,6 +300,9 @@ def run_parity(
     record["cls_f1"] = float(
         cls_metrics.get("f1", cls_metrics.get("macro_f1", float("nan")))
     )
+    # Grading-AUC parity (BASELINE.json north star): mean of the defined
+    # per-task ROC-AUCs on the held-out split.
+    record["cls_macro_auc"] = float(cls_metrics.get("macro_auc", float("nan")))
     # _pct suffix: ClassifierMetrics accuracies are 0-100 while every
     # other accuracy in this record is a 0-1 fraction.
     record["cls_pfirrmann_accuracy_pct"] = float(
@@ -351,6 +355,8 @@ def run_parity(
     grade_hits = 0
     hern_hits = 0
     total = 0
+    pf_probs_all: list[np.ndarray] = []
+    hern_probs_all: list[np.ndarray] = []
     for res, coords, grades, herns in zip(results, gt_coords, gt_grades, gt_herns):
         pred_xy = res.coords[1]  # T2-series predictions [L, 2]
         med_norm.extend(np.linalg.norm(pred_xy - coords, axis=-1).tolist())
@@ -362,9 +368,20 @@ def run_parity(
         grade_hits += int((pf_pred == grades).sum())
         hern_hits += int((hern_pred == herns).sum())
         total += len(grades)
+        pf_probs_all.append(np.asarray(res.probabilities["pfirrmann"]))
+        hern_probs_all.append(np.asarray(res.probabilities["herniation"]).ravel())
     record["e2e_loc_med"] = float(np.mean(med_norm))
     record["e2e_grade_accuracy"] = grade_hits / total
     record["e2e_herniation_accuracy"] = hern_hits / total
+    # Threshold-free ranking quality through the full fused pipeline
+    # (BASELINE.json: "grading AUC parity").
+    record["e2e_pfirrmann_macro_auc"] = macro_ovr_auc(
+        np.concatenate(pf_probs_all, axis=0),
+        np.concatenate([g - 1 for g in gt_grades]),
+    )
+    record["e2e_herniation_auc"] = roc_auc(
+        np.concatenate(hern_probs_all), np.concatenate(gt_herns)
+    )
     record["e2e_loc_med_threshold"] = 0.06
     # Round-3 tightening: the suite achieved 0.80 in round 2 — hold the
     # bar at 0.75 so regressions fail instead of coasting under 0.7.
@@ -374,10 +391,13 @@ def run_parity(
         and record["e2e_grade_accuracy"] > record["e2e_grade_accuracy_threshold"]
     )
     logger.info(
-        "parity e2e: MED %.4f grade-acc %.3f herniation-acc %.3f",
+        "parity e2e: MED %.4f grade-acc %.3f herniation-acc %.3f "
+        "pfirrmann-AUC %.3f herniation-AUC %.3f",
         record["e2e_loc_med"],
         record["e2e_grade_accuracy"],
         record["e2e_herniation_accuracy"],
+        record["e2e_pfirrmann_macro_auc"],
+        record["e2e_herniation_auc"],
     )
 
     # -------------------------------------------- rotated-crop-mode e2e

@@ -122,3 +122,80 @@ def test_empty_pck_thresholds_disable_pck():
     m = LocalizationMetrics(pck_thresholds=[], level_names=[])
     metrics = m.compute(np.zeros((2, 2)), np.ones((2, 2)), levels=np.arange(2))
     assert not any(k.startswith("pck@") for k in metrics)
+
+
+# ----------------------------------------------------------------- ROC-AUC
+# (BASELINE.json north star requires grading-AUC parity; the reference has
+# no AUC metric, so these are golden-value tests against hand-counted
+# Mann-Whitney pair statistics.)
+
+
+def test_roc_auc_hand_counted():
+    from spine_vision_tpu.metrics import roc_auc
+
+    # sklearn's doc example: pos {0.35, 0.8} vs neg {0.1, 0.4} -> 3/4 pairs won
+    assert roc_auc([0.1, 0.4, 0.35, 0.8], [0, 0, 1, 1]) == 0.75
+    # perfect / inverted separation
+    assert roc_auc([0.1, 0.2, 0.8, 0.9], [0, 0, 1, 1]) == 1.0
+    assert roc_auc([0.9, 0.8, 0.2, 0.1], [0, 0, 1, 1]) == 0.0
+
+
+def test_roc_auc_ties_count_half():
+    from spine_vision_tpu.metrics import roc_auc
+
+    # all scores equal -> every pair is a tie -> 0.5
+    assert roc_auc([0.5, 0.5, 0.5, 0.5], [0, 1, 0, 1]) == 0.5
+    # pairs: (0.5 pos vs 0.5 neg)=0.5, (0.5 pos vs 0.3 neg)=1 -> 1.5/2
+    assert roc_auc([0.5, 0.5, 0.3], [1, 0, 0]) == 0.75
+
+
+def test_roc_auc_degenerate_is_nan():
+    from spine_vision_tpu.metrics import roc_auc
+
+    assert np.isnan(roc_auc([0.2, 0.8], [1, 1]))
+    assert np.isnan(roc_auc([0.2, 0.8], [0, 0]))
+
+
+def test_macro_ovr_auc_skips_absent_classes():
+    from spine_vision_tpu.metrics import macro_ovr_auc
+
+    probs = np.array(
+        [[0.8, 0.1, 0.1], [0.1, 0.8, 0.1], [0.1, 0.1, 0.8], [0.7, 0.2, 0.1]]
+    )
+    targets = np.array([0, 1, 2, 0])
+    assert macro_ovr_auc(probs, targets) == 1.0
+    # class 2 never appears: its OvR AUC is skipped, not averaged as 0
+    targets_no2 = np.array([0, 1, 1, 0])
+    out = macro_ovr_auc(probs[:, :], targets_no2)
+    assert 0.0 <= out <= 1.0 and not np.isnan(out)
+    # single-class targets -> nothing scoreable
+    assert np.isnan(macro_ovr_auc(probs, np.zeros(4, dtype=int)))
+
+
+def test_classifier_metrics_auc_keys():
+    m = ClassifierMetrics(target_labels=["pfirrmann", "herniation"])
+    predictions = {
+        "pfirrmann": np.eye(5)[[0, 1, 2, 3]] * 10.0,
+        "herniation": np.array([[5.0], [-5.0], [5.0], [-5.0]]),
+    }
+    targets = {
+        "pfirrmann": np.array([0, 1, 2, 3]),
+        "herniation": np.array([1.0, 0.0, 1.0, 0.0]),
+    }
+    m.update(predictions, targets)
+    out = m.compute()
+    assert out["pfirrmann_auc"] == 1.0
+    assert out["herniation_auc"] == 1.0
+    assert out["macro_auc"] == 1.0
+
+
+def test_classifier_metrics_auc_omitted_when_degenerate():
+    m = ClassifierMetrics(target_labels=["herniation"])
+    m.update(
+        {"herniation": np.array([[3.0], [2.0]])},
+        {"herniation": np.array([1.0, 1.0])},  # one class only
+    )
+    out = m.compute()
+    assert "herniation_auc" not in out
+    assert "macro_auc" not in out
+    assert "f1" in out  # the rest of the metrics still compute
