@@ -364,13 +364,16 @@ def bench_loc_forward() -> None:
     )
 
 
-def _backend_probe(timeout_s: float = 180.0) -> None:
+def _backend_probe(timeout_s: float = 420.0) -> None:
     """Fail fast (with a legible JSON line) if the device backend is dead.
 
     A tunneled TPU backend can hang indefinitely at client init when the
     tunnel is down; a blocked C call cannot be interrupted in-process, so
     probe from a subprocess with a hard timeout before committing to the
-    real run. Skipped with BENCH_SKIP_PROBE=1.
+    real run. Skipped with BENCH_SKIP_PROBE=1. The timeout must cover a
+    cold remote compile of the trivial probe program: measured 150 s on a
+    healthy-but-slow tunnel session (round 4) — 180 s produced a false
+    "tunnel down" verdict there, hence the 420 s bound.
     """
     import os
     import subprocess

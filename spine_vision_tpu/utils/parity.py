@@ -386,9 +386,17 @@ def run_parity(
     # Round-3 tightening: the suite achieved 0.80 in round 2 — hold the
     # bar at 0.75 so regressions fail instead of coasting under 0.7.
     record["e2e_grade_accuracy_threshold"] = 0.75
+    # AUC floors (round 4): ranking quality must clear chance (0.5) by a
+    # wide margin through the FULL fused pipeline — initial conservative
+    # bars, to be tightened once a few runs establish the achieved band.
+    record["e2e_pfirrmann_macro_auc_threshold"] = 0.70
+    record["e2e_herniation_auc_threshold"] = 0.75
     record["e2e_pass"] = (
         record["e2e_loc_med"] < record["e2e_loc_med_threshold"]
         and record["e2e_grade_accuracy"] > record["e2e_grade_accuracy_threshold"]
+        and record["e2e_pfirrmann_macro_auc"]
+        > record["e2e_pfirrmann_macro_auc_threshold"]
+        and record["e2e_herniation_auc"] > record["e2e_herniation_auc_threshold"]
     )
     logger.info(
         "parity e2e: MED %.4f grade-acc %.3f herniation-acc %.3f "
