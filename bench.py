@@ -146,9 +146,81 @@ def _train_step_throughput() -> float:
 
 
 def _cls_train_throughput(batch: int) -> float:
-    """Raw chained fwd+bwd img/s for the classification train config
+    """REAL full train step img/s for the classification train config
     (ResNet-18 @ 256^2 — reference envelope trainers/classification.py:112,
-    134; batch raised past the reference's 32 to feed the chip)."""
+    134; batch raised past the reference's 32 to feed the chip).
+
+    Round-5 definition fix (round-4 verdict weak #2): train-mode BN,
+    gradients w.r.t. the PARAMS, the real 8-task losses, and the AdamW
+    update — the same step the trainer runs (scripts/
+    profile_cls_train_step.py setup), chained in one jitted lax.scan.
+    The pre-round-5 definition (eval-mode BN, grad w.r.t. the images,
+    synthetic sum-of-squares loss) lives on as _cls_raw_fwdbwd_throughput
+    so historical rows stay comparable."""
+    import optax
+
+    from spine_vision_tpu.core.tasks import get_tasks
+    from spine_vision_tpu.models import Classifier, make_multitask_loss_fn
+    from spine_vision_tpu.train.state import TrainState
+    from spine_vision_tpu.train.steps import make_train_step
+
+    tasks = get_tasks()  # all 8 registry tasks
+    model = Classifier(backbone_name="resnet18", dtype=jnp.bfloat16)
+    variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
+        jax.random.PRNGKey(1), jnp.zeros((1, 256, 256, 3), jnp.bfloat16)
+    )
+    loss_fn = make_multitask_loss_fn(tasks)
+    step = make_train_step(
+        model.apply,
+        lambda outputs, b: loss_fn(outputs, b["targets"]),
+        has_batch_stats=True,
+    )
+    state = TrainState.create(
+        params=variables["params"],
+        tx=optax.adamw(1e-3, weight_decay=1e-4),
+        batch_stats=variables.get("batch_stats"),
+        seed=1,
+    )
+    rng = np.random.default_rng(0)
+    targets = {}
+    for t in tasks:
+        if t.num_classes > 1:
+            targets[t.name] = jnp.asarray(
+                rng.integers(0, t.num_classes, size=(batch,)), jnp.int32
+            )
+        else:
+            targets[t.name] = jnp.asarray(
+                rng.integers(0, 2, size=(batch, 1)).astype(np.float32)
+            )
+    batch_dict = {
+        "image": jnp.asarray(rng.normal(size=(batch, 256, 256, 3)), jnp.bfloat16),
+        "targets": targets,
+    }
+
+    @jax.jit
+    def chained(state, b):
+        def body(carry, _):
+            new_state, loss = step(carry, b)
+            return new_state, loss
+
+        return jax.lax.scan(body, state, None, length=10)
+
+    _, losses = chained(state, batch_dict)
+    float(jnp.sum(losses))  # compile + force
+    best = float("inf")
+    for _ in range(3):
+        start = time.perf_counter()
+        _, losses = chained(state, batch_dict)
+        float(jnp.sum(losses))
+        best = min(best, time.perf_counter() - start)
+    return batch * 10 / best
+
+
+def _cls_raw_fwdbwd_throughput(batch: int) -> float:
+    """The pre-round-5 'fwdbwd' definition, kept verbatim for cross-round
+    reconciliation: eval-mode BN, grad w.r.t. the IMAGES, synthetic
+    sum-of-squares loss (this is what produced round 3's 8651.8 and round
+    4's 1884.8 — BASELINE.md round-5 bisect)."""
     from spine_vision_tpu.models import Classifier
 
     model = Classifier(backbone_name="resnet18", dtype=jnp.bfloat16)
@@ -299,7 +371,9 @@ def bench_study_e2e() -> None:
         ct = _cls_train_throughput(CLS_BATCH)
         metrics.append(
             {
-                "metric": f"resnet18_cls_fwdbwd_b{CLS_BATCH}_img_s",
+                # Round-5 rename + definition fix: the REAL full train step
+                # (train-mode BN, params grads, 8-task losses, AdamW).
+                "metric": f"resnet18_cls_train_step_b{CLS_BATCH}_img_s",
                 "value": round(ct, 1),
                 "unit": "images/sec/chip",
                 "vs_baseline": None,
@@ -307,6 +381,20 @@ def bench_study_e2e() -> None:
         )
     except Exception as exc:
         extra["cls_train_error"] = str(exc)[:200]
+
+    try:
+        raw = _cls_raw_fwdbwd_throughput(CLS_BATCH)
+        # Historical metric, pre-round-5 definition (see its docstring).
+        metrics.append(
+            {
+                "metric": f"resnet18_cls_fwdbwd_b{CLS_BATCH}_img_s",
+                "value": round(raw, 1),
+                "unit": "images/sec/chip",
+                "vs_baseline": None,
+            }
+        )
+    except Exception as exc:
+        extra["cls_raw_fwdbwd_error"] = str(exc)[:200]
 
     headline = dict(metrics[0], metrics=metrics, extra=extra)
     with open("BENCH_DETAIL.json", "w") as f:

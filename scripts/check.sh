@@ -28,6 +28,10 @@ else
   python -m compileall -q spine_vision_tpu scripts tests examples bench.py __graft_entry__.py || rc=1
 fi
 
+echo "== docs artifacts (deps graph + lock)"
+python scripts/gen_deps.py || rc=1
+python scripts/gen_lock.py || rc=1
+
 if [ "${1:-}" != "--fast" ]; then
   echo "== pytest"
   python -m pytest tests/ -q || rc=1

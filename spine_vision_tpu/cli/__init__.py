@@ -173,6 +173,14 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     parity.add_argument("--output-dir", required=True)
     parity.add_argument("--seed", type=int, default=0)
+    parity.add_argument(
+        "--norm-impl", choices=["tpu", "flax"], default="tpu",
+        help="ResNet BatchNorm implementation under test",
+    )
+    parity.add_argument(
+        "--pool-impl", choices=["tpu", "flax"], default="flax",
+        help="ResNet stem max-pool implementation under test",
+    )
     parity.add_argument("-v", "--verbose", action="store_true")
 
     ocr = commands.add_parser(
@@ -394,7 +402,12 @@ def cli(argv: list[str] | None = None) -> int:
 
         from spine_vision_tpu.utils.parity import run_parity
 
-        record = run_parity(Path(args.output_dir), seed=args.seed)
+        record = run_parity(
+            Path(args.output_dir),
+            seed=args.seed,
+            norm_impl=args.norm_impl,
+            pool_impl=args.pool_impl,
+        )
         print(json.dumps(record, indent=2))
         return 0 if record["all_pass"] else 1
 

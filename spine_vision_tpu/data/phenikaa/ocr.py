@@ -293,16 +293,44 @@ class DocumentExtractor:
             page_quads = self.detector.detect_batch(images)
         else:
             page_quads = [self.detector.detect(im) for im in images]
-        patches = [
-            self._rectify(im, np.asarray(q))
-            for im, q in zip(images, page_quads)
-        ]
-        counts = [p.shape[0] for p in patches]
+        page_quads = [np.asarray(q).reshape(-1, 4, 2) for q in page_quads]
+        counts = [q.shape[0] for q in page_quads]
         if sum(counts) == 0:
             return [[] for _ in images]
-        texts = self.recognizer.recognize_batch(
-            np.concatenate([p for p in patches if p.shape[0]])
+        # Round-5: ONE rectification pass for every box of every page.
+        # The per-page _rectify loop paid one device dispatch + one fetch
+        # per page — through a tunneled chip those round trips dominated
+        # the whole OCR batch (BASELINE.md ocr breakdown). Pages stack
+        # into one tall [P*H, W] image and each quad's y shifts by its
+        # page offset; the homography solve maps the translated corners
+        # exactly, so the patches are bit-identical to per-page rectify.
+        hmax = max(im.shape[0] for im in images)
+        wmax = max(im.shape[1] for im in images)
+        stacked = np.zeros((len(images), hmax, wmax), dtype=np.float32)
+        for i, im in enumerate(images):
+            g = _to_gray_f32(im)
+            stacked[i, : g.shape[0], : g.shape[1]] = g
+        all_quads = np.concatenate(page_quads).astype(np.float32)
+        offsets = np.repeat(
+            np.arange(len(images), dtype=np.float32) * hmax, counts
         )
+        all_quads[:, :, 1] += offsets[:, None]
+        # Pad the box count to a power of two (like recognize_batch) so the
+        # jitted rectify compiles once per bucket, not once per box count.
+        n = all_quads.shape[0]
+        bucket = 1 << (n - 1).bit_length()
+        if bucket > n:
+            fill = np.tile(all_quads[-1:], (bucket - n, 1, 1))
+            all_quads = np.concatenate([all_quads, fill])
+        patches = np.asarray(
+            rectify_polygons(
+                jnp.asarray(stacked.reshape(-1, wmax)),
+                jnp.asarray(all_quads),
+                self.patch_height,
+                self.patch_width,
+            )
+        )[:n]
+        texts = self.recognizer.recognize_batch(patches)
         out: list[list[str]] = []
         offset = 0
         for c in counts:

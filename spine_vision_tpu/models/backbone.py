@@ -102,6 +102,8 @@ class BackboneFactory:
         dtype: Any = jnp.bfloat16,
         axis_name: str | None = None,
         use_pallas: bool | str = False,
+        norm_impl: str = "tpu",
+        pool_impl: str = "flax",
     ) -> tuple[nn.Module, int]:
         """Create a backbone module.
 
@@ -122,6 +124,11 @@ class BackboneFactory:
                 forward emitting the conv intermediate + the composed
                 backward (resident LN-MLP kernel + XLA conv grads).
                 All modes carry custom VJPs, so every setting is trainable.
+            norm_impl: ResNet family only — "tpu" (fused bf16 TpuBatchNorm)
+                or "flax" (stock nn.BatchNorm). Same variable layout either
+                way, so checkpoints are interchangeable.
+            pool_impl: ResNet family only — "tpu" (scatter-free max pool)
+                or "flax" (nn.max_pool / select_and_scatter gradient).
 
         Returns:
             (module, feature_dim).
@@ -134,7 +141,13 @@ class BackboneFactory:
         module: nn.Module
         if family == "resnet":
             config = RESNET_CONFIGS[variant]
-            module = ResNet(config=config, dtype=dtype, axis_name=axis_name)
+            module = ResNet(
+                config=config,
+                dtype=dtype,
+                axis_name=axis_name,
+                norm_impl=norm_impl,
+                pool_impl=pool_impl,
+            )
             dim = config.num_features
         elif family == "convnext":
             cn_config = CONVNEXT_CONFIGS[variant]

@@ -44,6 +44,8 @@ class Classifier(nn.Module):
     dtype: Any = jnp.bfloat16
     axis_name: str | None = None
     use_pallas: bool | str = False  # ConvNeXt kernels: True | "mlp" | "hybrid"
+    norm_impl: str = "tpu"  # ResNet family: "tpu" fused BN | "flax" nn.BatchNorm
+    pool_impl: str = "flax"  # ResNet family: "flax" nn.max_pool (round-5 bisect) | "tpu"
 
     def setup(self) -> None:
         tasks = self.tasks or tuple(get_tasks())
@@ -53,6 +55,8 @@ class Classifier(nn.Module):
             dtype=self.dtype,
             axis_name=self.axis_name,
             use_pallas=self.use_pallas,
+            norm_impl=self.norm_impl,
+            pool_impl=self.pool_impl,
         )
         self.dropout_layer = nn.Dropout(self.dropout)
         self.heads = {
@@ -160,6 +164,8 @@ class CoordinateRegressor(nn.Module):
     dtype: Any = jnp.bfloat16
     axis_name: str | None = None
     use_pallas: bool | str = False  # ConvNeXt kernels: True | "mlp" | "hybrid"
+    norm_impl: str = "tpu"  # ResNet family: "tpu" fused BN | "flax" nn.BatchNorm
+    pool_impl: str = "flax"  # ResNet family: "flax" nn.max_pool (round-5 bisect) | "tpu"
 
     def setup(self) -> None:
         self.backbone, self.feature_dim = BackboneFactory.create(
@@ -167,6 +173,8 @@ class CoordinateRegressor(nn.Module):
             dtype=self.dtype,
             axis_name=self.axis_name,
             use_pallas=self.use_pallas,
+            norm_impl=self.norm_impl,
+            pool_impl=self.pool_impl,
         )
         total_outputs = self.num_levels * self.num_outputs
         if self.head_config is not None:

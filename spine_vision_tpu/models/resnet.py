@@ -195,15 +195,27 @@ class ResNet(nn.Module):
     config: ResNetConfig
     dtype: Any = jnp.float32
     axis_name: str | None = None
+    # Implementation toggles, defaults set by the round-5 on-chip bisect
+    # (BASELINE.md): TpuBatchNorm is perf-neutral-or-better than
+    # nn.BatchNorm (full train step 6233 vs 6201 img/s b256) and keeps
+    # every full-size pass bf16; the scatter-free pool LOSES 4.6x to
+    # nn.max_pool's select_and_scatter in training (raw fwd+bwd 1882 vs
+    # 8652 img/s — the round-4 regression), so "flax" is the pool default.
+    # Both pairs register the same variables; checkpoints interchange.
+    norm_impl: str = "tpu"
+    pool_impl: str = "flax"
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         cfg = self.config
         # TpuBatchNorm: same variables/statistics as nn.BatchNorm but every
-        # full-size pass is one fused bf16 read/write (ops/batchnorm.py —
-        # flax's f32 upcast cost ~6.3 ms/step on the round-3 b256 trace).
+        # full-size pass is one fused bf16 read/write (ops/batchnorm.py).
+        # Measured effect is modest (round-5 bisect: full train step 6233
+        # vs 6201 img/s b256 — XLA already fuses most of flax BN's f32
+        # upcasts); kept as default for the bf16 residuals (less HBM).
+        norm_cls = TpuBatchNorm if self.norm_impl == "tpu" else nn.BatchNorm
         norm = partial(
-            TpuBatchNorm,
+            norm_cls,
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
@@ -228,9 +240,14 @@ class ResNet(nn.Module):
             )(x)
             x = norm(name="stem_bn")(x)
             x = nn.relu(x)
-        # Scatter-free pool: nn.max_pool's select_and_scatter gradient is
-        # serial on TPU (ops/pool.py; ~7.5 ms/step group on the round-3 trace).
-        x = max_pool(x, (3, 3), strides=(2, 2), padding=(1, 1))
+        # Default nn.max_pool: the scatter-free pool (ops/pool.py) measured
+        # 4.6x SLOWER in training (round-5 bisect) — see pool_impl above.
+        if self.pool_impl == "tpu":
+            x = max_pool(x, (3, 3), strides=(2, 2), padding=(1, 1))
+        else:
+            x = nn.max_pool(
+                x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]
+            )
 
         for stage_idx, num_blocks in enumerate(cfg.stage_sizes):
             base = 64 * (2**stage_idx)

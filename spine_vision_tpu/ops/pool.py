@@ -1,22 +1,31 @@
-"""XLA-friendly max pooling for the ResNet stem.
+"""Scatter-free max pooling — a measured NEGATIVE result; not the default.
 
-``flax.linen.max_pool``'s gradient lowers to ``select_and_scatter``, which
-runs as a serial windowed scatter on TPU — on the round-3 ResNet-18@256
-b256 trace the ReLU/MaxPool fwd+bwd group cost 7.5 ms of a 29.6 ms step,
-dominated by select_and_scatter over the [B,128,128,64] stem activation
-(BASELINE.md row).  The reference's envelope is torch's ``max_pool2d``
-whose CUDA backward is an argmax-indexed scatter
+ROUND-5 VERDICT (do not re-enable without new on-chip evidence): this
+formulation LOSES 4.6x to ``nn.max_pool``'s select_and_scatter gradient
+in ResNet-18@256 b256 training (raw fwd+bwd 1882.5 vs 8652.1 img/s; full
+train step 2778.6 vs 6231.3 — BASELINE.md round-5 bisect,
+scripts/bisect_resnet_bn_pool.py). Round 4 shipped it as the default
+without re-measuring the benched path, causing the BENCH_r04 1884.8
+regression. An input-side dilated rewrite (one interior pad of g/y, nine
+fused stencil terms over input-sized arrays) measured even worse (928.6
+raw). The interior-strided pads / strided slices materialize as relayout
+passes on TPU instead of fusing. ``models/resnet.py`` defaults to
+``pool_impl="flax"``; this module stays for the A/B toggle and as the
+recorded experiment.
+
+Original motivation (round-3 trace): the ReLU/MaxPool fwd+bwd group cost
+7.5 ms of a 29.6 ms step, dominated by select_and_scatter over the
+[B,128,128,64] stem activation. The reference's envelope is torch's
+``max_pool2d`` whose CUDA backward is an argmax-indexed scatter
 (reference training/models/backbone.py stem via timm).
 
-This module reformulates the pool as a max-tree over the window's shifted
-strided slices:
+The formulation — a max-tree over the window's shifted strided slices:
 
 - forward: ``y = max_{(i,j) in window} x_pad[i::s, j::s]`` — a tree of
-  elementwise maxima over strided views that XLA fuses into one pass;
+  elementwise maxima over strided views;
 - backward (custom VJP): for each window offset,
   ``dx_pad[i::s, j::s] += g * (x_slice == y)`` — elementwise compares plus
-  strided pads, no scatter.  The pad-and-add chain is bandwidth-shaped
-  work XLA fuses well.
+  strided pads, no scatter (measured: the pads do NOT fuse on TPU).
 
 Tie semantics: ``select_and_scatter`` routes the cotangent to the FIRST
 maximal element per window; the eq-mask routes it to EVERY maximal

@@ -112,6 +112,14 @@ class ClassificationConfig(TrainingConfig):
     """Also use the fused Pallas dwconv+LayerNorm kernel (custom VJP);
     requires use_pallas_mlp. TPU-only."""
 
+    norm_impl: str = "tpu"
+    """ResNet-family BatchNorm implementation: "tpu" (fused bf16,
+    ops/batchnorm.py) or "flax" (nn.BatchNorm). Same variable layout."""
+
+    pool_impl: str = "flax"
+    """ResNet-family stem max pool: "tpu" (scatter-free, ops/pool.py) or
+    "flax" (nn.max_pool / select_and_scatter gradient)."""
+
     use_focal_loss: bool = False
     focal_gamma: float = 2.0
     focal_alpha: float | None = None
@@ -183,6 +191,8 @@ class ClassificationTrainer(BaseTrainer[ClassificationConfig]):
                 use_pallas=_resolve_use_pallas(
                     config.use_pallas_mlp, config.use_pallas_dwconv
                 ),
+                norm_impl=config.norm_impl,
+                pool_impl=config.pool_impl,
             )
 
         self._tasks = tasks

@@ -60,6 +60,14 @@ class LocalizationConfig(TrainingConfig):
     """Also use the fused Pallas dwconv+LayerNorm kernel (custom VJP, Pallas
     fwd+bwd) in training; requires use_pallas_mlp. TPU-only."""
 
+    norm_impl: str = "tpu"
+    """ResNet-family BatchNorm implementation: "tpu" (fused bf16,
+    ops/batchnorm.py) or "flax" (nn.BatchNorm). Same variable layout."""
+
+    pool_impl: str = "flax"
+    """ResNet-family stem max pool: "tpu" (scatter-free, ops/pool.py) or
+    "flax" (nn.max_pool / select_and_scatter gradient)."""
+
     pck_thresholds: list[float] = [0.02, 0.05, 0.10]
     visualize_predictions: bool = True
     num_visualization_samples: int = 16
@@ -86,6 +94,8 @@ class LocalizationTrainer(BaseTrainer[LocalizationConfig]):
                 use_pallas=_resolve_use_pallas(
                     config.use_pallas_mlp, config.use_pallas_dwconv
                 ),
+                norm_impl=config.norm_impl,
+                pool_impl=config.pool_impl,
             )
         if train_dataset is None:
             train_dataset = LocalizationDataset(
