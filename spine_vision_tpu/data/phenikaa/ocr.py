@@ -303,31 +303,57 @@ class DocumentExtractor:
         # the whole OCR batch (BASELINE.md ocr breakdown). Pages stack
         # into one tall [P*H, W] image and each quad's y shifts by its
         # page offset; the homography solve maps the translated corners
-        # exactly, so the patches are bit-identical to per-page rectify.
+        # exactly (modulo f32 rounding of the shifted fractions).
         hmax = max(im.shape[0] for im in images)
         wmax = max(im.shape[1] for im in images)
         stacked = np.zeros((len(images), hmax, wmax), dtype=np.float32)
         for i, im in enumerate(images):
             g = _to_gray_f32(im)
             stacked[i, : g.shape[0], : g.shape[1]] = g
+        # Quads stay in page-LOCAL coordinates; per-quad bounds clamp to the
+        # owning page's extent (an edge-hanging box replicates THAT page's
+        # border like the per-page bilinear clamp did) and per-quad offsets
+        # place the samples on the tall image AFTER the homography solve
+        # (exact translation; tests/test_phenikaa.py pins the parity).
         all_quads = np.concatenate(page_quads).astype(np.float32)
-        offsets = np.repeat(
+        row_off = np.repeat(
             np.arange(len(images), dtype=np.float32) * hmax, counts
         )
-        all_quads[:, :, 1] += offsets[:, None]
+        bounds = np.stack(
+            [
+                np.repeat(
+                    np.asarray([im.shape[0] - 1 for im in images], np.float32),
+                    counts,
+                ),
+                np.repeat(
+                    np.asarray([im.shape[1] - 1 for im in images], np.float32),
+                    counts,
+                ),
+            ],
+            axis=1,
+        )
+        offsets = np.stack([row_off, np.zeros_like(row_off)], axis=1)
         # Pad the box count to a power of two (like recognize_batch) so the
         # jitted rectify compiles once per bucket, not once per box count.
         n = all_quads.shape[0]
         bucket = 1 << (n - 1).bit_length()
         if bucket > n:
-            fill = np.tile(all_quads[-1:], (bucket - n, 1, 1))
-            all_quads = np.concatenate([all_quads, fill])
+            pad = bucket - n
+            all_quads = np.concatenate(
+                [all_quads, np.tile(all_quads[-1:], (pad, 1, 1))]
+            )
+            bounds = np.concatenate([bounds, np.tile(bounds[-1:], (pad, 1))])
+            offsets = np.concatenate(
+                [offsets, np.tile(offsets[-1:], (pad, 1))]
+            )
         patches = np.asarray(
             rectify_polygons(
                 jnp.asarray(stacked.reshape(-1, wmax)),
                 jnp.asarray(all_quads),
                 self.patch_height,
                 self.patch_width,
+                bounds=jnp.asarray(bounds),
+                offsets=jnp.asarray(offsets),
             )
         )[:n]
         texts = self.recognizer.recognize_batch(patches)

@@ -205,6 +205,15 @@ class ResNet(nn.Module):
     norm_impl: str = "tpu"
     pool_impl: str = "flax"
 
+    def _pool(self, x: Array) -> Array:
+        """Stem 3x3/2 max pool in the configured implementation."""
+        if self.pool_impl == "tpu":
+            # Scatter-free pool: measured 4.6x SLOWER in training than
+            # select_and_scatter (round-5 bisect) — kept only as the A/B
+            # toggle; see ops/pool.py.
+            return max_pool(x, (3, 3), strides=(2, 2), padding=(1, 1))
+        return nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         cfg = self.config
@@ -239,15 +248,17 @@ class ResNet(nn.Module):
                 use_bias=False, dtype=self.dtype, name="stem_conv",
             )(x)
             x = norm(name="stem_bn")(x)
+            # Pool BEFORE the stem ReLU: relu(max_pool(x)) ==
+            # max_pool(relu(x)) exactly (relu is monotonic and both pool
+            # impls pad with -inf, which never wins a max). The ReLU then
+            # touches the pooled tensor (4x smaller); measured NEUTRAL on
+            # chip (6179/6343 img/s b256/b512 contended vs 6233 quiet,
+            # BASELINE.md roofline row) — XLA already fused the relu. Kept:
+            # never more bytes, and exact.
+            x = self._pool(x)
             x = nn.relu(x)
-        # Default nn.max_pool: the scatter-free pool (ops/pool.py) measured
-        # 4.6x SLOWER in training (round-5 bisect) — see pool_impl above.
-        if self.pool_impl == "tpu":
-            x = max_pool(x, (3, 3), strides=(2, 2), padding=(1, 1))
-        else:
-            x = nn.max_pool(
-                x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]
-            )
+        if cfg.deep_stem:
+            x = self._pool(x)
 
         for stage_idx, num_blocks in enumerate(cfg.stage_sizes):
             base = 64 * (2**stage_idx)

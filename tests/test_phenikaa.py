@@ -187,6 +187,56 @@ def test_rectify_polygons_identity():
     np.testing.assert_allclose(out, image[5:25, 10:30], rtol=1e-4, atol=1e-2)
 
 
+def test_rectify_polygons_page_bounds_match_per_page():
+    """The batched multi-page rectification (pages stacked into one tall
+    image; page-local quads + per-quad bounds/offsets,
+    data/phenikaa/ocr.py round 5) must match per-page rectify_polygons to
+    float-rounding accuracy — including quads hanging past their page
+    edge, which must replicate THAT page's border instead of bleeding into
+    the neighbor page. The homography is solved in LOCAL coordinates and
+    the page offset is added after the clamp: baking a large y-offset into
+    the corners degrades the f32 8x8 solve's conditioning (measured 252
+    gray levels of error at 16 pages on TPU); post-solve offsets leave
+    only bilinear-fraction rounding (< 0.01 gray levels)."""
+    rng = np.random.default_rng(1)
+    pages = [
+        rng.uniform(0, 255, (40, 60)).astype(np.float32),
+        rng.uniform(0, 255, (30, 50)).astype(np.float32),  # smaller page
+    ]
+    quads = [
+        # hangs past the bottom edge of page 0 (y up to 45 > 39)
+        np.array([[5.0, 30.0], [40.0, 30.0], [40.0, 45.0], [5.0, 45.0]]),
+        # hangs past the right edge of page 1 (x up to 55 > 49)
+        np.array([[20.0, 5.0], [55.0, 5.0], [55.0, 20.0], [20.0, 20.0]]),
+    ]
+    per_page = [
+        np.asarray(
+            rectify_polygons(jnp.asarray(p), jnp.asarray(q)[None], 16, 48)
+        )[0]
+        for p, q in zip(pages, quads)
+    ]
+
+    hmax, wmax = 40, 60
+    stacked = np.zeros((2, hmax, wmax), np.float32)
+    for i, p in enumerate(pages):
+        stacked[i, : p.shape[0], : p.shape[1]] = p
+    all_quads = np.stack(quads).astype(np.float32)  # page-LOCAL coords
+    bounds = np.array([[39.0, 59.0], [29.0, 49.0]], np.float32)
+    offsets = np.array([[0.0, 0.0], [float(hmax), 0.0]], np.float32)
+    batched = np.asarray(
+        rectify_polygons(
+            jnp.asarray(stacked.reshape(-1, wmax)),
+            jnp.asarray(all_quads),
+            16,
+            48,
+            bounds=jnp.asarray(bounds),
+            offsets=jnp.asarray(offsets),
+        )
+    )
+    np.testing.assert_allclose(batched[0], per_page[0], atol=0.05)
+    np.testing.assert_allclose(batched[1], per_page[1], atol=0.05)
+
+
 def test_ctc_greedy_decode():
     t, c = 8, charset_size()
     logits = np.full((1, t, c), -10.0, dtype=np.float32)
