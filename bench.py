@@ -306,6 +306,8 @@ def bench_study_e2e() -> None:
             "vs_baseline": round(REFERENCE_GPU_E2E_EST_MS / p50, 3),
         }
     )
+    import os
+
     extra = {
         "study_e2e_p95_ms": round(p95, 2),
         "reps": REPS,
@@ -313,6 +315,10 @@ def bench_study_e2e() -> None:
         # timestamp; BENCH_DETAIL.json mirrors this run verbatim.
         "captured_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "backend": jax.default_backend(),
+        # Host contention diagnostic: device-resident timings are immune,
+        # but host-side dispatch/OCR phases slow down when the 1-core host
+        # is busy (load >> 1 means another job ran during this capture).
+        "host_load_avg_1m": round(os.getloadavg()[0], 2),
     }
 
     try:

@@ -1,4 +1,4 @@
-"""Unified task definitions and strategies for classification tasks.
+"""Task registry + per-type strategy objects for the grading heads.
 
 Single source of truth for the eight lumbar-spine grading tasks and their
 type-specific behavior (loss, predictions, probabilities, target formatting).

@@ -1,4 +1,5 @@
-"""Metrics for evaluating model performance.
+"""Host-side evaluation metrics: localization error (MED/MAE/PCK) and
+multi-task classification aggregates (accuracy/P/R/F1/AUC).
 
 Numerical parity with the reference's hand-rolled numpy metrics
 (spine_vision/training/metrics.py:60-518), which are the actual hot path the
