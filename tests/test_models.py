@@ -185,3 +185,26 @@ def test_multitask_loss_sample_weight_excludes_padding():
 
     np.testing.assert_allclose(weighted, base, rtol=1e-6)
     assert not np.isclose(unweighted, base, rtol=1e-6)  # the bias being fixed
+
+
+def test_resnet_impl_defaults_are_the_bisected_ones():
+    """Round-5 bisect pinned the defaults: norm=tpu (TpuBatchNorm,
+    perf-neutral-or-better), pool=flax (nn.max_pool — the scatter-free
+    pool measured 4.6x slower in training, BASELINE.md bisect table).
+    Round 4 shipped a default flip without re-measuring the benched path;
+    this pin makes any future flip a deliberate, test-visible change."""
+    from spine_vision_tpu.models import Classifier, CoordinateRegressor
+    from spine_vision_tpu.models.resnet import ResNet
+    from spine_vision_tpu.train.classification import ClassificationConfig
+    from spine_vision_tpu.train.localization import LocalizationConfig
+
+    assert ResNet.norm_impl == "tpu"
+    assert ResNet.pool_impl == "flax"
+    assert Classifier.norm_impl == "tpu"
+    assert Classifier.pool_impl == "flax"
+    assert CoordinateRegressor.norm_impl == "tpu"
+    assert CoordinateRegressor.pool_impl == "flax"
+    assert ClassificationConfig.model_fields["norm_impl"].default == "tpu"
+    assert ClassificationConfig.model_fields["pool_impl"].default == "flax"
+    assert LocalizationConfig.model_fields["norm_impl"].default == "tpu"
+    assert LocalizationConfig.model_fields["pool_impl"].default == "flax"
